@@ -1,0 +1,34 @@
+"""Index-gather ops (channel-last reworks of models/operations.py:19-54
+and the node->point skip gathers of models/segmenter.py:89-98)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def knn_gather(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather neighbor features by index.
+
+    data: (B, M, C); idx: (B, Q, K) int -> (B, Q, K, C).
+    Reference: knn_gather_by_indexing / knn_gather_wrapper
+    (models/operations.py:19-54), which assert C in {2,3} for coords; this
+    version is shape-generic (it serves both coordinate and feature gathers).
+    """
+    B, Q, K = idx.shape
+    return jnp.take_along_axis(
+        data[:, None, :, :],                      # (B, 1, M, C)
+        idx[..., None].astype(jnp.int32),          # (B, Q, K, 1)
+        axis=2,
+    )
+
+
+def gather_by_segment(node_feat: jax.Array, seg_ids: jax.Array) -> jax.Array:
+    """Broadcast per-node features back to points: the segmenter's skip
+    gathers (segmenter.py:89-98, where ``mask_max_idx`` == the assignment
+    index because argmax of a one-hot row is the assigned node).
+
+    node_feat: (B, M, C); seg_ids: (B, N) int -> (B, N, C).
+    """
+    return jnp.take_along_axis(
+        node_feat, seg_ids[..., None].astype(jnp.int32), axis=1)
