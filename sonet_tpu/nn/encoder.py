@@ -1,0 +1,199 @@
+"""The shared SO-Net encoder (reference Encoder, models/networks.py:71-199).
+
+Pipeline (channel-last): top-k point->node assignment, k-stacked points,
+cluster-mean node recentering, decentered PointResNet over kN points,
+segment-max node pooling (the reference's index_max CUDA kernel,
+networks.py:181-185), optional kNN aggregation over nodes, final
+PointNet, global max.
+
+Everything runs inside one jit: the reference's dataloader-side Faiss
+kNN of SOM nodes (modelnet_shrec_loader.py:257-259) is computed on
+device when ``node_knn_I`` is None.
+
+Stop-gradient boundaries match the reference ``.detach()`` calls
+(networks.py:140-171, layers.py:351-352).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops import (assign_topk, knn, one_hot_f32, segment_max)
+from .layers import KNNModule, PointLayer, PointNetMLP, PointResNet
+
+
+class EncoderOutput(NamedTuple):
+    """Functional replacement for the attributes the reference encoder
+    stashes on ``self`` for the segmenter (networks.py:127-197,
+    segmenter.py:89-109)."""
+
+    feature: jax.Array              # (B, F) global shape feature
+    min_idx: jax.Array              # (B, kN) node id per stacked point
+    mask_row_max: jax.Array         # (B, M) bool node occupancy
+    counts: jax.Array               # (B, M) points per node (mask_row_sum)
+    som_node: jax.Array             # (B, M, D) cluster-mean nodes
+    centers: jax.Array              # (B, kN, D) per-point assigned center
+    x_stack: jax.Array              # (B, kN, D)
+    sn_stack: jax.Array             # (B, kN, D)
+    x_decentered: jax.Array         # (B, kN, D)
+    first_pn_out: jax.Array         # (B, kN, 384)
+    first_pn_out_masked_max: jax.Array  # (B, M, 384) node-pooled
+    knn_center: Optional[jax.Array]     # (B, M, D) or None (som_k < 2)
+    knn_feature: Optional[jax.Array]    # (B, M, 512) or None
+    final_pn_out: jax.Array         # (B, M, F)
+
+
+class Encoder(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pc: jax.Array, sn: jax.Array | None,
+                 node: jax.Array, node_knn_I: jax.Array | None = None, *,
+                 train: bool = False,
+                 epoch: jax.Array | None = None) -> EncoderOutput:
+        """pc: (B, N, D) points; sn: (B, N, D) normals or None;
+        node: (B, M, D) SOM nodes; node_knn_I: (B, M, >=som_k) or None
+        (computed on device from recentered nodes when absent)."""
+        cfg = self.cfg
+        B, N, D = pc.shape
+        M = node.shape[1]
+        k = cfg.k
+        bn_kw = dict(momentum=cfg.bn_momentum,
+                     bn_momentum_decay_step=cfg.bn_momentum_decay_step,
+                     bn_momentum_decay=cfg.bn_momentum_decay)
+
+        # -- point -> node top-k assignment (networks.py:127) -------------
+        assign = assign_topk(jax.lax.stop_gradient(pc), node, k)
+        min_idx = assign.min_idx                       # (B, kN)
+        onehot = one_hot_f32(min_idx, M)               # (B, kN, M)
+        counts = jnp.sum(onehot, axis=1)               # (B, M) mask_row_sum
+        mask_row_max = assign.mask_row_max             # (B, M)
+
+        # -- stack k copies of the cloud (networks.py:131-137) ------------
+        x_stack = jnp.tile(pc, (1, k, 1))              # (B, kN, D)
+        sn_stack = jnp.tile(sn, (1, k, 1)) if sn is not None else None
+
+        # -- recenter nodes to actual cluster means (networks.py:139-143) -
+        xs = jax.lax.stop_gradient(x_stack)
+        cluster_sum = jnp.einsum("bnm,bnc->bmc", onehot, xs,
+                                 preferred_element_type=jnp.float32)
+        som_node = cluster_sum / (counts[..., None] + 1e-5)  # (B, M, D)
+
+        # -- per-point centers & decentering (networks.py:167-171) --------
+        centers = jax.lax.stop_gradient(
+            jnp.einsum("bnm,bmc->bnc", onehot, som_node,
+                       preferred_element_type=jnp.float32))
+        x_decentered = jax.lax.stop_gradient(x_stack - centers)
+
+        # -- first PointNet over kN points (networks.py:174-178) ----------
+        if cfg.surface_normal and sn_stack is not None:
+            first_in = jnp.concatenate([x_decentered, sn_stack], axis=-1)
+        else:
+            first_in = x_decentered
+        first_pn_out = PointResNet(
+            (64, 128, 256, 384), activation=cfg.activation,
+            normalization=cfg.normalization, **bn_kw, name="first_pointnet")(
+            first_in, train=train, epoch=epoch)
+
+        # -- node pooling: the index_max kernel (networks.py:181-185) -----
+        pooled = segment_max(first_pn_out, min_idx, M,
+                             counts=counts.astype(jnp.int32))  # (B, M, 384)
+
+        if cfg.som_k >= 2:
+            # kNN over recentered nodes: on-device replacement for the
+            # dataloader Faiss kNN (modelnet_shrec_loader.py:257-259).
+            if node_knn_I is None:
+                knn_I = knn(jax.lax.stop_gradient(som_node), cfg.som_k)
+            else:
+                knn_I = node_knn_I[:, :, : cfg.som_k]
+            knn_center, knn_feature = KNNModule(
+                (512, 512), activation=cfg.activation,
+                normalization=cfg.normalization, **bn_kw, name="knnlayer")(
+                som_node, pooled, knn_I, cfg.som_k_type,
+                train=train, epoch=epoch)
+            final_in = jnp.concatenate([knn_center, knn_feature], axis=-1)
+            final_pn_out = PointNetMLP(
+                (768, cfg.feature_num), activation=cfg.activation,
+                normalization=cfg.normalization, **bn_kw,
+                name="final_pointnet")(final_in, train=train, epoch=epoch)
+        else:
+            knn_center = knn_feature = None
+            final_in = jnp.concatenate([som_node, pooled], axis=-1)
+            final_pn_out = PointResNet(
+                (512, 512, 768, cfg.feature_num), activation=cfg.activation,
+                normalization=cfg.normalization, **bn_kw,
+                name="final_pointnet")(final_in, train=train, epoch=epoch)
+
+        feature = jnp.max(final_pn_out, axis=1)  # (B, F) (networks.py:197)
+
+        return EncoderOutput(
+            feature=feature, min_idx=min_idx, mask_row_max=mask_row_max,
+            counts=counts, som_node=som_node, centers=centers,
+            x_stack=x_stack,
+            sn_stack=sn_stack if sn_stack is not None else x_stack,
+            x_decentered=x_decentered, first_pn_out=first_pn_out,
+            first_pn_out_masked_max=pooled, knn_center=knn_center,
+            knn_feature=knn_feature, final_pn_out=final_pn_out)
+
+
+class Transformer(nn.Module):
+    """Rotation regressor (reference Transformer, networks.py:20-68).
+
+    Dead code in the reference (constructed at networks.py:78, usage
+    commented out at :147-164) — provided for API completeness.  Returns
+    sin(theta) in [-1, 1]; ``rotation_matrix_y`` builds the y-axis
+    rotation the commented reference block applies (networks.py:150-157).
+    """
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        cfg = self.cfg
+        bn_kw = dict(momentum=cfg.bn_momentum,
+                     bn_momentum_decay_step=cfg.bn_momentum_decay_step,
+                     bn_momentum_decay=cfg.bn_momentum_decay)
+        first = PointNetMLP((32, 64, 128), activation=cfg.activation,
+                            normalization=cfg.normalization, **bn_kw)(
+            x, train=train, epoch=epoch)
+        feat1 = jnp.max(first, axis=1, keepdims=True)  # (B, 1, 128)
+        second_in = jnp.concatenate(
+            [first, jnp.broadcast_to(feat1, first.shape)], axis=-1)
+        second = PointNetMLP((256, 256), activation=cfg.activation,
+                             normalization=cfg.normalization, **bn_kw)(
+            second_in, train=train, epoch=epoch)
+        feat2 = jnp.max(second, axis=1)  # (B, 256)
+
+        h = PointLayer(128, activation=cfg.activation,
+                       normalization=cfg.normalization, **bn_kw)(
+            feat2, train=train, epoch=epoch)
+        if cfg.dropout > 0.1:
+            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        h = PointLayer(64, activation=cfg.activation,
+                       normalization=cfg.normalization, **bn_kw)(
+            h, train=train, epoch=epoch)
+        if cfg.dropout > 0.1:
+            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        sin_theta = jnp.tanh(PointLayer(1, activation=None,
+                                        normalization=None)(h))
+        return sin_theta  # (B, 1)
+
+
+def rotation_matrix_y(sin_theta: jax.Array) -> jax.Array:
+    """(B, 1) sin(theta) -> (B, 3, 3) y-axis rotation (networks.py:150-157)."""
+    s = sin_theta[:, 0]
+    c = jnp.sqrt(1.0 + 1e-5 - s * s)
+    z = jnp.zeros_like(s)
+    o = jnp.ones_like(s)
+    rows = jnp.stack([
+        jnp.stack([c, z, s], -1),
+        jnp.stack([z, o, z], -1),
+        jnp.stack([-s, z, c], -1),
+    ], axis=1)
+    return rows

@@ -1,0 +1,110 @@
+"""Task heads: classifier (networks.py:202-227) and part segmenter
+(networks.py:230-344), channel-last."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops.gather import gather_by_segment
+from .encoder import EncoderOutput
+from .layers import PointLayer
+
+
+class ClassifierHead(nn.Module):
+    """feature (B, F) -> logits (B, classes): FC 512 -> 256 -> classes with
+    dropout between (networks.py:202-227)."""
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, feature: jax.Array, *, train: bool = False,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        cfg = self.cfg
+        bn_kw = dict(momentum=cfg.bn_momentum,
+                     bn_momentum_decay_step=cfg.bn_momentum_decay_step,
+                     bn_momentum_decay=cfg.bn_momentum_decay)
+        h = PointLayer(512, activation=cfg.activation,
+                       normalization=cfg.normalization, **bn_kw, name="fc1")(
+            feature, train=train, epoch=epoch)
+        if cfg.dropout > 0.1:  # networks.py:220-224
+            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        h = PointLayer(256, activation=cfg.activation,
+                       normalization=cfg.normalization, **bn_kw, name="fc2")(
+            h, train=train, epoch=epoch)
+        if cfg.dropout > 0.1:
+            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        return PointLayer(cfg.classes, activation=None, normalization=None,
+                          name="fc3")(h)
+
+
+NUM_SHAPE_CATEGORIES = 16  # ShapeNetPart object categories (networks.py:292)
+
+
+class SegmenterHead(nn.Module):
+    """Per-point part scores from concatenated skip features
+    (networks.py:259-344 + the node->point gathers of segmenter.py:89-98).
+
+    Channel plan (surface_normal, som_k>=2):
+    D + D + D + D + 16 + 384 + 384 + 512 + F + F  (networks.py:239).
+    Skip features are gathered from node maps back to the kN stacked
+    points by the assignment index (== argmax of the one-hot mask,
+    segmenter.py:90).  After three shared-MLP layers the k stacked copies
+    are averaged back to N points (networks.py:330-336; generalized to
+    any k instead of the reference's hardcoded k in {2, 3}).
+    """
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, enc: EncoderOutput, label: jax.Array, *,
+                 train: bool = False,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        cfg = self.cfg
+        B, kN, _ = enc.x_stack.shape
+        N = kN // cfg.k
+
+        # node -> point skip gathers (segmenter.py:92-98)
+        g384 = gather_by_segment(enc.first_pn_out_masked_max, enc.min_idx)
+        g_final = gather_by_segment(enc.final_pn_out, enc.min_idx)
+
+        label_onehot = jax.nn.one_hot(label, NUM_SHAPE_CATEGORIES,
+                                      dtype=enc.x_stack.dtype)  # (B, 16)
+        label_onehot = jnp.broadcast_to(label_onehot[:, None, :],
+                                        (B, kN, NUM_SHAPE_CATEGORIES))
+        feature_exp = jnp.broadcast_to(enc.feature[:, None, :],
+                                       (B, kN, enc.feature.shape[-1]))
+
+        parts = [enc.x_decentered, enc.x_stack, enc.centers]
+        if cfg.surface_normal:
+            parts.append(enc.sn_stack)
+        parts += [label_onehot, enc.first_pn_out, g384]
+        if cfg.som_k >= 2:
+            assert enc.knn_feature is not None
+            parts.append(gather_by_segment(enc.knn_feature, enc.min_idx))
+        parts += [g_final, feature_exp]
+        h = jnp.concatenate(parts, axis=-1)
+
+        bn_kw = dict(momentum=cfg.bn_momentum,
+                     bn_momentum_decay_step=cfg.bn_momentum_decay_step,
+                     bn_momentum_decay=cfg.bn_momentum_decay)
+
+        def eq(c, act=True, name=None):
+            return PointLayer(
+                c, activation=cfg.activation if act else None,
+                normalization=cfg.normalization if act else None, **bn_kw,
+                name=name)
+
+        h = eq(1024, name="layer1")(h, train=train, epoch=epoch)
+        h = eq(512, name="layer2")(h, train=train, epoch=epoch)
+        h = eq(256, name="layer3")(h, train=train, epoch=epoch)
+
+        # average the k stacked copies back to N points (networks.py:330-336)
+        h = jnp.mean(h.reshape(B, cfg.k, N, -1), axis=1)  # (B, N, 256)
+
+        h = eq(128, name="layer4")(h, train=train, epoch=epoch)
+        if cfg.dropout > 0.1:  # drop4 (networks.py:339-340)
+            h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        return eq(cfg.classes, act=False, name="layer5")(h)  # (B, N, classes)

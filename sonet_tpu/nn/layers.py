@@ -1,0 +1,252 @@
+"""Reusable network blocks (flax.linen), channel-last.
+
+Rebuild of models/layers.py.  The reference expresses shared MLPs as 1x1
+Conv1d/Conv2d over ``BxCxN`` tensors; on TPU the idiomatic and fastest
+form is a plain Dense over the trailing channel axis of ``(B, N, C)`` —
+one MXU matmul, no layout shuffling.  ``PointLayer`` therefore unifies
+the reference's ``EquivariantLayer`` (layers.py:243-296), ``MyLinear``
+(:123-166) and 1x1 ``MyConv2d`` (:169-211).
+
+BatchNorm reproduces the reference ``MyBatchNorm1d/2d`` (:22-120):
+torch-convention momentum (ra = (1-m)*ra + m*batch), unbiased running
+variance, and the per-epoch momentum-decay schedule
+``m = max(m0 * decay^(epoch // step), 0.01)`` — here with ``epoch`` as a
+traced scalar so no per-epoch recompilation happens.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.gather import knn_gather
+
+
+def activation_fn(name: Optional[str]) -> Callable[[jax.Array], jax.Array]:
+    """relu / elu / swish / leakyrelu(0.1) (layers.py:134-141)."""
+    if name is None:
+        return lambda x: x
+    return {
+        "relu": nn.relu,
+        "elu": nn.elu,
+        "swish": lambda x: x * jax.nn.sigmoid(x),  # layers.py:14-19
+        "leakyrelu": lambda x: nn.leaky_relu(x, 0.1),
+    }[name]
+
+
+def he_normal_in() -> nn.initializers.Initializer:
+    """normal(0, sqrt(2/fan_in)) — the reference init (layers.py:145-154)."""
+    return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def he_normal_out() -> nn.initializers.Initializer:
+    """normal(0, sqrt(2/fan_out)) — UpConv's init quirk (layers.py:225-231
+    uses out_channels in the denominator)."""
+    return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics BatchNorm over the trailing channel axis, with the
+    reference's epoch-based momentum decay (layers.py:60-70)."""
+
+    momentum: float = 0.1
+    momentum_decay_step: Optional[int] = None
+    momentum_decay: float = 0.6
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, use_running_average: bool,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(C, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(C, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)  # biased
+            if not self.is_initializing():
+                m = jnp.asarray(self.momentum, jnp.float32)
+                if (self.momentum_decay_step is not None
+                        and self.momentum_decay_step > 0 and epoch is not None):
+                    e = jnp.asarray(epoch, jnp.float32)
+                    decayed = self.momentum * (
+                        self.momentum_decay ** jnp.floor(
+                            e / self.momentum_decay_step))
+                    m = jnp.where(e >= 1.0, jnp.maximum(decayed, 0.01), m)
+                n = math.prod(x.shape[:-1])
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class PointLayer(nn.Module):
+    """Dense -> [BatchNorm] -> [activation] over the trailing axis.
+
+    The single TPU-side replacement for EquivariantLayer / MyLinear /
+    1x1 MyConv2d (all are matmuls over C once the layout is channel-last).
+    """
+
+    features: int
+    activation: Optional[str] = "relu"
+    normalization: Optional[str] = None
+    momentum: float = 0.1
+    bn_momentum_decay_step: Optional[int] = None
+    bn_momentum_decay: float = 0.6
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        x = nn.Dense(self.features, kernel_init=he_normal_in(),
+                     bias_init=nn.initializers.zeros)(x)
+        if self.normalization == "batch":
+            x = BatchNorm(momentum=self.momentum,
+                          momentum_decay_step=self.bn_momentum_decay_step,
+                          momentum_decay=self.bn_momentum_decay)(
+                x, use_running_average=not train, epoch=epoch)
+        elif self.normalization is not None:
+            raise NotImplementedError(
+                f"normalization={self.normalization!r} (reference supports "
+                "'instance' but never uses it; add here if needed)")
+        return activation_fn(self.activation)(x)
+
+
+class PointNetMLP(nn.Module):
+    """Stack of PointLayers; last layer has no activation/normalization
+    (reference PointNet, layers.py:370-387)."""
+
+    out_channels: Sequence[int]
+    activation: str = "relu"
+    normalization: Optional[str] = "batch"
+    momentum: float = 0.1
+    bn_momentum_decay_step: Optional[int] = None
+    bn_momentum_decay: float = 0.6
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        n = len(self.out_channels)
+        for i, c in enumerate(self.out_channels):
+            last = i == n - 1
+            x = PointLayer(c,
+                           activation=None if last else self.activation,
+                           normalization=None if last else self.normalization,
+                           momentum=self.momentum,
+                           bn_momentum_decay_step=self.bn_momentum_decay_step,
+                           bn_momentum_decay=self.bn_momentum_decay)(
+                x, train=train, epoch=epoch)
+        return x
+
+
+class PointResNet(nn.Module):
+    """First-layer-skip residual MLP (reference PointResNet,
+    layers.py:390-432): the final layer consumes concat(out0, out[k-2])
+    and has no activation/normalization."""
+
+    out_channels: Sequence[int]
+    activation: str = "relu"
+    normalization: Optional[str] = "batch"
+    momentum: float = 0.1
+    bn_momentum_decay_step: Optional[int] = None
+    bn_momentum_decay: float = 0.6
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        def layer(c, act, norm):
+            return PointLayer(c, activation=act, normalization=norm,
+                              momentum=self.momentum,
+                              bn_momentum_decay_step=self.bn_momentum_decay_step,
+                              bn_momentum_decay=self.bn_momentum_decay)
+
+        n = len(self.out_channels)
+        out0 = layer(self.out_channels[0], self.activation,
+                     self.normalization)(x, train=train, epoch=epoch)
+        h = out0
+        for c in self.out_channels[1:-1]:
+            h = layer(c, self.activation, self.normalization)(
+                h, train=train, epoch=epoch)
+        return layer(self.out_channels[-1], None, None)(
+            jnp.concatenate([out0, h], axis=-1), train=train, epoch=epoch)
+
+
+class KNNModule(nn.Module):
+    """kNN aggregation over SOM nodes (reference KNNModule,
+    layers.py:299-367): gather K neighbors per node, decenter coordinates
+    (stop-gradient), shared-MLP over (B, M, K, C'), max over K.
+
+    All layers keep activation+normalization (unlike PointNet stacks)."""
+
+    out_channels: Sequence[int]
+    activation: str = "relu"
+    normalization: Optional[str] = "batch"
+    momentum: float = 0.1
+    bn_momentum_decay_step: Optional[int] = None
+    bn_momentum_decay: float = 0.6
+
+    @nn.compact
+    def __call__(self, coordinate: jax.Array, x: jax.Array,
+                 knn_idx: jax.Array, center_type: str = "avg", *,
+                 train: bool = False, epoch: jax.Array | None = None):
+        """coordinate: (B, M, D); x: (B, M, C); knn_idx: (B, M, K).
+
+        Returns (neighbors_center (B, M, D), feature (B, M, out[-1])).
+        """
+        coord = jax.lax.stop_gradient(coordinate)
+        neighbors = knn_gather(coord, knn_idx)  # (B, M, K, D)
+        if center_type == "avg":  # layers.py:347-348
+            center = jnp.mean(neighbors, axis=2, keepdims=True)
+        elif center_type == "center":  # layers.py:349-350
+            center = coord[:, :, None, :]
+        else:
+            raise ValueError(f"center_type={center_type!r}")
+        decentered = jax.lax.stop_gradient(neighbors - center)
+        center = jax.lax.stop_gradient(jnp.squeeze(center, 2))
+
+        x_neighbors = knn_gather(x, knn_idx)  # (B, M, K, C)
+        h = jnp.concatenate([decentered, x_neighbors], axis=-1)
+        for c in self.out_channels:
+            h = PointLayer(c, activation=self.activation,
+                           normalization=self.normalization,
+                           momentum=self.momentum,
+                           bn_momentum_decay_step=self.bn_momentum_decay_step,
+                           bn_momentum_decay=self.bn_momentum_decay)(
+                h, train=train, epoch=epoch)
+        feature = jnp.max(h, axis=2)  # max over K
+        return center, feature
+
+
+class UpConv(nn.Module):
+    """2x nearest upsample + 3x3 conv (reference UpConv, layers.py:214-240),
+    NHWC.  Weight init uses fan_out (the reference's weight_init override)
+    and bias 0.001."""
+
+    features: int
+    activation: Optional[str] = "relu"
+    normalization: Optional[str] = "batch"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False,
+                 epoch: jax.Array | None = None) -> jax.Array:
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        x = nn.Conv(self.features, (3, 3), padding="SAME",
+                    kernel_init=he_normal_out(),
+                    bias_init=nn.initializers.constant(0.001))(x)
+        if self.normalization == "batch":
+            x = BatchNorm()(x, use_running_average=not train, epoch=epoch)
+        return activation_fn(self.activation)(x)

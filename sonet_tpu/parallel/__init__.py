@@ -1,0 +1,6 @@
+"""Mesh / sharding utilities (no reference equivalent — the reference is
+single-GPU only, SURVEY.md §2.3)."""
+
+from .mesh import make_mesh, batch_specs, shard_batch, replicate
+
+__all__ = ["make_mesh", "batch_specs", "shard_batch", "replicate"]

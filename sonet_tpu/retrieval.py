@@ -1,0 +1,64 @@
+"""SHREC16 shape-retrieval evaluator (reference shrec16/test.py:24-99).
+
+The 55-d classifier score vector is the retrieval descriptor
+(test.py:54); for each query, candidates sharing the *predicted* label
+are ranked by L2 distance over scores and the top-1000 ``id distance``
+lines are written per query (test.py:69-99).
+
+The ranking itself is one on-device masked pairwise-distance + sort
+instead of the reference's per-query python loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.pairwise import pairwise_sqdist
+
+
+def extract_scores(eval_step, state, loader, device_batch_fn):
+    """Forward all shapes -> (scores (T, C), labels (T,), ids (T,))."""
+    scores, ids = [], []
+    for batch in loader:
+        valid = int(batch.pop("valid", len(batch["label"])))
+        item_ids = batch.pop("id", None)
+        m = eval_step(state, device_batch_fn(batch))
+        scores.append(np.asarray(m["score"])[:valid])
+        if item_ids is not None:
+            ids.append(np.asarray(item_ids)[:valid])
+    scores = np.concatenate(scores, 0)
+    ids = (np.concatenate(ids, 0) if ids
+           else np.arange(len(scores), dtype=np.int64))
+    return scores, ids
+
+
+def rank_all(scores: np.ndarray, top: int = 1000):
+    """For every query i: mask candidates with the same predicted label,
+    sort by L2 over score vectors.  Returns per-query (ids, distances)
+    as object arrays (variable candidate counts)."""
+    predicted = scores.argmax(-1)  # (T,)
+    s = jnp.asarray(scores)
+    d = np.asarray(jnp.sqrt(jnp.maximum(pairwise_sqdist(s, s), 0.0)))  # T x T
+    results = []
+    for i in range(len(scores)):
+        mask = predicted == predicted[i]
+        cand = np.nonzero(mask)[0]
+        dist = d[i, cand]
+        order = np.argsort(dist, kind="stable")[:top]
+        results.append((cand[order], dist[order]))
+    return results
+
+
+def write_rank_files(results, ids: np.ndarray, out_dir: str) -> None:
+    """One file per query named %06d with '%06d %f' lines (test.py:93-99)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for i, (cand_idx, dist) in enumerate(results):
+        name = "%06d" % int(ids[i])
+        rows = np.stack([ids[cand_idx].astype(np.float64), dist], 1)
+        np.savetxt(os.path.join(out_dir, name), rows, fmt="%06d %f",
+                   delimiter=" ")

@@ -1,0 +1,82 @@
+"""Checkpoint / resume via orbax.
+
+The reference saves bare ``state_dict`` files per sub-network, never
+optimizer state (classifier.py:127-133), and "resume" means loading the
+encoder only (--pretrain, modelnet/train.py:33-34).  Here full train
+state (params + batch_stats + optimizer + step) is checkpointed
+(SURVEY.md §5 'failure detection'), and ``restore_encoder`` provides the
+encoder-only transfer path (autoencoder -> part-seg pretraining,
+part-seg/options.py:36).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    keep: int = 3) -> str:
+    path = os.path.join(_abs(ckpt_dir), f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state,
+               "step": np.asarray(state.step)}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    _gc(ckpt_dir, keep)
+    return path
+
+
+def _gc(ckpt_dir: str, keep: int) -> None:
+    root = _abs(ckpt_dir)
+    if not os.path.isdir(root):
+        return
+    steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
+    for d in steps[:-keep]:
+        import shutil
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    root = _abs(ckpt_dir)
+    if not os.path.isdir(root):
+        return None
+    steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
+    return os.path.join(root, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Restore full train state (auto-resume)."""
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": np.asarray(state.step)}
+    restored = ckptr.restore(_abs(path), template)
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"],
+                         opt_state=restored["opt_state"],
+                         step=jax.numpy.asarray(restored["step"]))
+
+
+def restore_encoder(path: str, state: TrainState) -> TrainState:
+    """Encoder-only transfer (--pretrain): load just params['encoder'] and
+    matching batch_stats from a full checkpoint of any task model."""
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(_abs(path))
+    params = dict(state.params)
+    params["encoder"] = restored["params"]["encoder"]
+    bs = dict(state.batch_stats)
+    if restored.get("batch_stats") and "encoder" in restored["batch_stats"]:
+        bs["encoder"] = restored["batch_stats"]["encoder"]
+    return state.replace(params=params, batch_stats=bs)

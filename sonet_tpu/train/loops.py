@@ -1,0 +1,213 @@
+"""Jitted train/eval steps for the three task families.
+
+One compiled function per task replaces the reference's imperative
+``Model.optimize`` / ``test_model`` (classifier.py:78-105,
+segmenter.py:111-133, autoencoder.py:66-126).  Epoch-dependent behavior
+(BN momentum decay, lr halving) is derived from ``state.step`` inside the
+trace — no per-epoch recompilation.
+
+Batches are dicts of device arrays:
+``{"pc": (B,N,D), "sn": (B,N,D)|None, "node": (B,M,D),
+   "node_knn_I": (B,M,som_k)|None, "label": (B,), "seg": (B,N)|None}``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops import chamfer, compute_iou
+from . import losses
+from .state import TrainState
+
+
+def random_point_dropout(pc: jax.Array, sn: jax.Array | None, rng: jax.Array,
+                         lower_limit: float):
+    """Fixed-shape version of the reference's random point dropout
+    (classifier.py:79-86).  The reference subsamples to a variable count;
+    under jit shapes must be static, so dropped slots are refilled with
+    duplicates of kept points (equivalent under the per-node max/mean
+    aggregation; deviation documented in SURVEY.md §7 'variable shapes')."""
+    if lower_limit >= 0.99:
+        return pc, sn
+    B, N, _ = pc.shape
+    r_ratio, r_perm = jax.random.split(rng)
+    keep_ratio = jax.random.uniform(r_ratio, (), minval=lower_limit,
+                                    maxval=1.0)
+    keep_num = jnp.maximum(
+        jnp.round(keep_ratio * N).astype(jnp.int32), 1)
+    perm = jax.random.permutation(r_perm, N)  # same subset for whole batch,
+    # like the reference's single np.random.choice per step
+    slot = jnp.arange(N)
+    idx = jnp.where(slot < keep_num, perm, perm[slot % keep_num])
+    pc = jnp.take(pc, idx, axis=1)
+    sn = jnp.take(sn, idx, axis=1) if sn is not None else None
+    return pc, sn
+
+
+def _apply(model, state: TrainState, batch: Dict[str, Any], *, train: bool,
+           epoch, rng=None, extra_args=()):
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    kwargs = dict(train=train, epoch=epoch)
+    rngs = {"dropout": rng} if rng is not None else None
+    args = (batch["pc"], batch.get("sn"), batch["node"],
+            *extra_args, batch.get("node_knn_I"))
+    if train:
+        return state.apply_fn(variables, *args, rngs=rngs,
+                              mutable=["batch_stats"], **kwargs)
+    return state.apply_fn(variables, *args, **kwargs), None
+
+
+# ---------------------------------------------------------------------------
+# classification
+# ---------------------------------------------------------------------------
+
+def make_classify_steps(model, cfg: Config, steps_per_epoch: int):
+    def train_step(state: TrainState, batch, rng):
+        epoch = (state.step // max(steps_per_epoch, 1)).astype(jnp.float32)
+        r_drop, r_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
+        pc, sn = random_point_dropout(batch["pc"], batch.get("sn"), r_drop,
+                                      cfg.random_pc_dropout_lower_limit)
+        batch = dict(batch, pc=pc, sn=sn)
+
+        def loss_fn(params):
+            (score, _enc), mut = _apply(
+                model, state.replace(params=params), batch, train=True,
+                epoch=epoch, rng=r_dropout)
+            loss = losses.cross_entropy(score, batch["label"])
+            return loss, (mut["batch_stats"], score)
+
+        (loss, (new_bs, score)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {"loss": loss,
+                   "accuracy": losses.accuracy(score, batch["label"])}
+        return state, metrics
+
+    def eval_step(state: TrainState, batch):
+        import optax
+        (score, _enc), _ = _apply(model, state, batch, train=False,
+                                  epoch=None)
+        loss_i = optax.softmax_cross_entropy_with_integer_labels(
+            score, batch["label"])  # (B,)
+        correct_i = (jnp.argmax(score, -1) == batch["label"])
+        return {"loss": jnp.mean(loss_i),
+                "accuracy": jnp.mean(correct_i.astype(jnp.float32)),
+                "loss_i": loss_i,
+                "correct_i": correct_i,
+                "score": score}
+
+    return (jax.jit(train_step, donate_argnums=0), jax.jit(eval_step))
+
+
+# ---------------------------------------------------------------------------
+# part segmentation
+# ---------------------------------------------------------------------------
+
+def make_segment_steps(model, cfg: Config, steps_per_epoch: int):
+    def train_step(state: TrainState, batch, rng):
+        epoch = (state.step // max(steps_per_epoch, 1)).astype(jnp.float32)
+        r_dropout = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            (score, _enc), mut = _apply(
+                model, state.replace(params=params), batch, train=True,
+                epoch=epoch, rng=r_dropout, extra_args=(batch["label"],))
+            loss = losses.cross_entropy_seg(score, batch["seg"])
+            return loss, (mut["batch_stats"], score)
+
+        (loss, (new_bs, score)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {"loss": loss,
+                   "seg_accuracy": losses.seg_accuracy(score, batch["seg"])}
+        return state, metrics
+
+    def eval_step(state: TrainState, batch):
+        import optax
+        from ..ops.iou import iou_per_shape
+        (score, _enc), _ = _apply(model, state, batch, train=False,
+                                  epoch=None, extra_args=(batch["label"],))
+        loss_i = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            score, batch["seg"]), axis=-1)  # (B,)
+        correct_i = jnp.mean(
+            (jnp.argmax(score, -1) == batch["seg"]).astype(jnp.float32), -1)
+        iou_i = iou_per_shape(jnp.argmax(score, -1), batch["seg"],
+                              batch["label"])
+        return {"loss": jnp.mean(loss_i),
+                "seg_accuracy": jnp.mean(correct_i),
+                "iou": jnp.mean(iou_i),
+                "loss_i": loss_i, "correct_i": correct_i, "iou_i": iou_i,
+                "score": score}
+
+    return (jax.jit(train_step, donate_argnums=0), jax.jit(eval_step))
+
+
+# ---------------------------------------------------------------------------
+# autoencoder
+# ---------------------------------------------------------------------------
+
+def _ae_loss(cfg: Config, dec, pc):
+    """Multi-scale Chamfer (autoencoder.py:83-98): final cloud plus conv
+    pyramid taps depending on output_conv_pc_num."""
+    total = chamfer(dec.pc, pc)
+    loss = total.loss
+    aux = {"chamfer": total.loss, "chamfer_fwd": total.forward_loss,
+           "chamfer_bwd": total.backward_loss}
+    if cfg.output_conv_pc_num == 1024:
+        c4 = chamfer(dec.conv_pc4, pc)
+        loss = loss + c4.loss
+        aux["chamfer_pc4"] = c4.loss
+    elif cfg.output_conv_pc_num == 4096:
+        c4 = chamfer(dec.conv_pc4, pc)
+        c5 = chamfer(dec.conv_pc5, pc)
+        loss = loss + c4.loss + c5.loss
+        aux["chamfer_pc4"] = c4.loss
+        aux["chamfer_pc5"] = c5.loss
+    aux["loss"] = loss
+    return loss, aux
+
+
+def make_autoencode_steps(model, cfg: Config, steps_per_epoch: int):
+    def train_step(state: TrainState, batch, rng):
+        epoch = (state.step // max(steps_per_epoch, 1)).astype(jnp.float32)
+        r_drop, r_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
+        pc, sn = random_point_dropout(batch["pc"], batch.get("sn"), r_drop,
+                                      cfg.random_pc_dropout_lower_limit)
+        batch_in = dict(batch, pc=pc, sn=sn)
+
+        def loss_fn(params):
+            (dec, _enc), mut = _apply(
+                model, state.replace(params=params), batch_in, train=True,
+                epoch=epoch, rng=r_dropout)
+            # loss compares against the (possibly dropped) input cloud,
+            # like the reference's self.pc (autoencoder.py:91)
+            loss, aux = _ae_loss(cfg, dec, pc)
+            return loss, (mut["batch_stats"], aux)
+
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return state, aux
+
+    def eval_step(state: TrainState, batch):
+        (dec, _enc), _ = _apply(model, state, batch, train=False, epoch=None)
+        _, aux = _ae_loss(cfg, dec, batch["pc"])
+        aux["loss_i"] = chamfer(dec.pc, batch["pc"]).loss_array  # (B,)
+        aux["predicted_pc"] = dec.pc
+        return aux
+
+    return (jax.jit(train_step, donate_argnums=0), jax.jit(eval_step))
+
+
+def make_steps(model, cfg: Config, steps_per_epoch: int):
+    return {
+        "classify": make_classify_steps,
+        "retrieve": make_classify_steps,
+        "segment": make_segment_steps,
+        "autoencode": make_autoencode_steps,
+    }[cfg.task](model, cfg, steps_per_epoch)

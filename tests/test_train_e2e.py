@@ -1,0 +1,138 @@
+"""End-to-end integration tests (SURVEY.md §4c): real train loops on
+synthetic data, small enough for the CPU test box."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonet_tpu import config as cfg_mod
+from sonet_tpu import models, train
+from sonet_tpu.data import BatchLoader, SyntheticDataset
+
+
+def _device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "valid"}
+
+
+def _train_some(cfg, steps=8, seed=0):
+    model = models.build_model(cfg)
+    ds = SyntheticDataset(cfg, size=cfg.batch_size * 4, seed=seed)
+    loader = BatchLoader(ds, cfg.batch_size, seed=seed, num_threads=1)
+    batch0 = _device_batch(next(iter(loader)))
+    example = (batch0["pc"], batch0.get("sn"), batch0["node"],
+               *((batch0["label"],) if cfg.task == "segment" else ()))
+    state = train.init_state(model, cfg, jax.random.PRNGKey(seed), example,
+                             steps_per_epoch=len(loader))
+    train_step, eval_step = train.make_steps(model, cfg, len(loader))
+    rng = jax.random.PRNGKey(seed + 1)
+    losses = []
+    it = iter(loader)
+    for s in range(steps):
+        try:
+            b = next(it)
+        except StopIteration:
+            it = iter(loader)
+            b = next(it)
+        state, metrics = train_step(state, _device_batch(b), rng)
+        losses.append(float(metrics["loss"]))
+    return state, model, losses, eval_step, loader
+
+
+class TestClassifyE2E:
+    def test_loss_decreases_and_learns(self):
+        cfg = cfg_mod.tiny_test()
+        state, model, losses, eval_step, loader = _train_some(cfg, steps=16)
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+        # eval pass produces sane metrics
+        m = eval_step(state, _device_batch(next(iter(loader))))
+        assert 0.0 <= float(m["accuracy"]) <= 1.0
+        assert np.isfinite(float(m["loss"]))
+
+    def test_batch_stats_update(self):
+        cfg = cfg_mod.tiny_test()
+        state, *_ = _train_some(cfg, steps=2)
+        flat = jax.tree_util.tree_leaves(state.batch_stats)
+        assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
+
+    def test_lr_schedule_halves_and_clips(self):
+        sched = train.halving_schedule(1e-3, 2, 0.5, 1e-5, steps_per_epoch=10)
+        assert float(sched(jnp.asarray(0))) == pytest.approx(1e-3)
+        assert float(sched(jnp.asarray(20))) == pytest.approx(5e-4)
+        assert float(sched(jnp.asarray(40))) == pytest.approx(2.5e-4)
+        assert float(sched(jnp.asarray(10_000))) == pytest.approx(1e-5)
+
+    def test_point_dropout_shapes(self):
+        pc = jnp.asarray(np.random.RandomState(0).randn(2, 32, 3),
+                         jnp.float32)
+        sn = jnp.asarray(np.random.RandomState(1).randn(2, 32, 3),
+                         jnp.float32)
+        pc2, sn2 = train.random_point_dropout(pc, sn, jax.random.PRNGKey(0),
+                                              0.5)
+        assert pc2.shape == pc.shape and sn2.shape == sn.shape
+        # refilled slots duplicate kept points: every output point exists
+        # in the input
+        a = np.asarray(pc2[0])
+        b = np.asarray(pc[0])
+        d = np.abs(a[:, None] - b[None]).sum(-1).min(1)
+        assert d.max() < 1e-6
+
+
+class TestSegmentE2E:
+    def test_one_step_and_iou(self):
+        cfg = cfg_mod.tiny_test().replace(task="segment", classes=50)
+        state, model, losses, eval_step, loader = _train_some(cfg, steps=3)
+        assert np.isfinite(losses).all()
+        m = eval_step(state, _device_batch(next(iter(loader))))
+        assert 0.0 <= float(m["iou"]) <= 1.0
+        assert m["score"].shape == (cfg.batch_size, cfg.input_pc_num, 50)
+
+
+class TestAutoencodeE2E:
+    def test_chamfer_decreases(self):
+        cfg = cfg_mod.tiny_test().replace(
+            task="autoencode", output_fc_pc_num=16, output_conv_pc_num=0)
+        state, model, losses, eval_step, loader = _train_some(cfg, steps=12)
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = cfg_mod.tiny_test()
+        state, model, _, eval_step, loader = _train_some(cfg, steps=2)
+        path = train.save_checkpoint(str(tmp_path / "ckpt"), state,
+                                     int(state.step))
+        # fresh state, restore, compare a forward pass
+        batch = _device_batch(next(iter(loader)))
+        example = (batch["pc"], batch["sn"], batch["node"])
+        fresh = train.init_state(model, cfg, jax.random.PRNGKey(99), example,
+                                 steps_per_epoch=4)
+        restored = train.restore_checkpoint(path, fresh)
+        a = eval_step(state, batch)
+        b = eval_step(restored, batch)
+        np.testing.assert_allclose(np.asarray(a["score"]),
+                                   np.asarray(b["score"]), rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_encoder_only_restore(self, tmp_path):
+        cfg = cfg_mod.tiny_test()
+        state, model, _, _, loader = _train_some(cfg, steps=2)
+        path = train.save_checkpoint(str(tmp_path / "ckpt"), state,
+                                     int(state.step))
+        # transfer into a fresh classifier with different head init
+        batch = _device_batch(next(iter(loader)))
+        example = (batch["pc"], batch["sn"], batch["node"])
+        fresh = train.init_state(model, cfg, jax.random.PRNGKey(7), example,
+                                 steps_per_epoch=4)
+        moved = train.restore_encoder(path, fresh)
+        enc_a = jax.tree_util.tree_leaves(state.params["encoder"])
+        enc_b = jax.tree_util.tree_leaves(moved.params["encoder"])
+        for x, y in zip(enc_a, enc_b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+        # head params stay freshly initialized (different from trained)
+        head_a = jax.tree_util.tree_leaves(state.params["classifier"])
+        head_b = jax.tree_util.tree_leaves(moved.params["classifier"])
+        assert any(not np.allclose(np.asarray(x), np.asarray(y))
+                   for x, y in zip(head_a, head_b))
