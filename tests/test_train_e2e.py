@@ -26,6 +26,7 @@ def _train_some(cfg, steps=8, seed=0):
                              steps_per_epoch=len(loader))
     train_step, eval_step = train.make_steps(model, cfg, len(loader))
     rng = jax.random.PRNGKey(seed + 1)
+    eval_loss_before = float(eval_step(state, batch0)["loss"])
     losses = []
     it = iter(loader)
     for s in range(steps):
@@ -36,15 +37,20 @@ def _train_some(cfg, steps=8, seed=0):
             b = next(it)
         state, metrics = train_step(state, _device_batch(b), rng)
         losses.append(float(metrics["loss"]))
-    return state, model, losses, eval_step, loader
+    eval_loss_after = float(eval_step(state, batch0)["loss"])
+    return (state, model, losses, eval_step, loader,
+            eval_loss_before, eval_loss_after)
 
 
 class TestClassifyE2E:
     def test_loss_decreases_and_learns(self):
         cfg = cfg_mod.tiny_test()
-        state, model, losses, eval_step, loader = _train_some(cfg, steps=16)
+        (state, model, losses, eval_step, loader,
+         before, after) = _train_some(cfg, steps=16)
         assert np.isfinite(losses).all()
-        assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+        # train loss is noisy (dropout 0.5, batch 4); eval loss on a fixed
+        # batch must improve
+        assert after < before, (before, after)
         # eval pass produces sane metrics
         m = eval_step(state, _device_batch(next(iter(loader))))
         assert 0.0 <= float(m["accuracy"]) <= 1.0
@@ -52,7 +58,7 @@ class TestClassifyE2E:
 
     def test_batch_stats_update(self):
         cfg = cfg_mod.tiny_test()
-        state, *_ = _train_some(cfg, steps=2)
+        state = _train_some(cfg, steps=2)[0]
         flat = jax.tree_util.tree_leaves(state.batch_stats)
         assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
 
@@ -82,7 +88,8 @@ class TestClassifyE2E:
 class TestSegmentE2E:
     def test_one_step_and_iou(self):
         cfg = cfg_mod.tiny_test().replace(task="segment", classes=50)
-        state, model, losses, eval_step, loader = _train_some(cfg, steps=3)
+        state, model, losses, eval_step, loader, *_ = _train_some(cfg,
+                                                                  steps=3)
         assert np.isfinite(losses).all()
         m = eval_step(state, _device_batch(next(iter(loader))))
         assert 0.0 <= float(m["iou"]) <= 1.0
@@ -93,15 +100,16 @@ class TestAutoencodeE2E:
     def test_chamfer_decreases(self):
         cfg = cfg_mod.tiny_test().replace(
             task="autoencode", output_fc_pc_num=16, output_conv_pc_num=0)
-        state, model, losses, eval_step, loader = _train_some(cfg, steps=12)
+        (state, model, losses, eval_step, loader,
+         before, after) = _train_some(cfg, steps=12)
         assert np.isfinite(losses).all()
-        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+        assert after < before, (before, after)
 
 
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         cfg = cfg_mod.tiny_test()
-        state, model, _, eval_step, loader = _train_some(cfg, steps=2)
+        state, model, _, eval_step, loader, *_ = _train_some(cfg, steps=2)
         path = train.save_checkpoint(str(tmp_path / "ckpt"), state,
                                      int(state.step))
         # fresh state, restore, compare a forward pass
@@ -118,7 +126,7 @@ class TestCheckpoint:
 
     def test_encoder_only_restore(self, tmp_path):
         cfg = cfg_mod.tiny_test()
-        state, model, _, _, loader = _train_some(cfg, steps=2)
+        state, model, _, _, loader, *_ = _train_some(cfg, steps=2)
         path = train.save_checkpoint(str(tmp_path / "ckpt"), state,
                                      int(state.step))
         # transfer into a fresh classifier with different head init
