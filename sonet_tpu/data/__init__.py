@@ -3,5 +3,16 @@
 from . import augmentation
 from .pipeline import BatchLoader, collate
 from .synthetic import SyntheticDataset
+from .sampler import (
+    read_obj,
+    sample_mesh,
+    normalize_cloud,
+    farthest_point_sampling,
+    farthest_point_sampling_jax,
+)
 
-__all__ = ["augmentation", "BatchLoader", "collate", "SyntheticDataset"]
+__all__ = [
+    "augmentation", "BatchLoader", "collate", "SyntheticDataset",
+    "read_obj", "sample_mesh", "normalize_cloud",
+    "farthest_point_sampling", "farthest_point_sampling_jax",
+]

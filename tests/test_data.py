@@ -1,0 +1,251 @@
+"""Data-layer tests: loaders against fabricated on-disk layouts, mesh
+sampler goldens, prep CLI roundtrip, augmentation invariants."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sonet_tpu import config as cfg_mod
+from sonet_tpu.data import (BatchLoader, augmentation, collate,
+                            farthest_point_sampling, normalize_cloud,
+                            read_obj, sample_mesh)
+
+
+def tiny():
+    return cfg_mod.tiny_test()
+
+
+class TestSampler:
+    def _square_obj(self, path):
+        # unit square in z=0 from two triangles, one tiny + one large
+        with open(path, "w") as f:
+            f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv 0 0.001 0\n")
+            f.write("f 1 2 3\nf 1 3 4\n")
+
+    def test_read_and_sample(self, tmp_path):
+        p = tmp_path / "mesh.obj"
+        self._square_obj(p)
+        v, f = read_obj(str(p))
+        assert v.shape == (5, 3) and f.shape == (2, 3)
+        pts, sn = sample_mesh(v, f, 500, np.random.default_rng(0))
+        assert pts.shape == (500, 3) and sn.shape == (500, 3)
+        # all samples on the square, z == 0, normal +-z
+        assert np.abs(pts[:, 2]).max() < 1e-6
+        np.testing.assert_allclose(np.abs(sn[:, 2]), 1.0, atol=1e-6)
+        assert pts.min() >= -1e-6 and pts.max() <= 1 + 1e-6
+
+    def test_area_weighting(self, tmp_path):
+        # two triangles with 10:1 area ratio -> sample counts follow
+        with open(tmp_path / "m.obj", "w") as f:
+            f.write("v 0 0 0\nv 10 0 0\nv 0 2 0\n"
+                    "v 100 0 0\nv 101 0 0\nv 100 2 0\n")
+            f.write("f 1 2 3\nf 4 5 6\n")
+        v, fc = read_obj(str(tmp_path / "m.obj"))
+        pts, _ = sample_mesh(v, fc, 2000, np.random.default_rng(1))
+        frac_big = np.mean(pts[:, 0] < 50)
+        assert 0.85 < frac_big < 0.97  # 10/11 = 0.909 expected
+
+    def test_fps_spreads(self):
+        rng = np.random.default_rng(2)
+        pts = rng.standard_normal((200, 3)).astype(np.float32)
+        sel = farthest_point_sampling(pts, 10, rng)
+        d = np.linalg.norm(sel[:, None] - sel[None], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        rnd = pts[:10]
+        d2 = np.linalg.norm(rnd[:, None] - rnd[None], axis=-1)
+        np.fill_diagonal(d2, np.inf)
+        assert d.min() > d2.min()  # FPS min-gap beats random subset
+
+    def test_normalize(self):
+        pts = np.random.default_rng(3).standard_normal((50, 3)) * 7 + 4
+        n = normalize_cloud(pts)
+        assert np.abs(n.mean(0)).max() < 1e-6
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1).max(), 1.0,
+                                   rtol=1e-5)
+
+
+def _fake_modelnet(tmp_path, cfg, n_shapes=6, pts=200):
+    root = tmp_path / "modelnet"
+    rows = cfg.rows
+    classes = ["airplane", "bed"][: min(2, cfg.classes)]
+    (root).mkdir()
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(n_shapes):
+        cls = classes[i % len(classes)]
+        name = f"{cls}_{i:04d}"
+        names.append(name)
+        os.makedirs(root / cls, exist_ok=True)
+        data = rng.standard_normal((pts, 6)).astype(np.float32)
+        np.save(root / cls / f"{name}.npy", data)
+        som_dir = root / f"{rows}x{rows}_som_nodes" / cls
+        os.makedirs(som_dir, exist_ok=True)
+        np.save(som_dir / f"{name}.npy",
+                rng.standard_normal((cfg.node_num, 3)).astype(np.float32))
+    (root / f"modelnet{cfg.classes}_shape_names.txt").write_text(
+        "\n".join(classes) + "\n")
+    (root / f"modelnet{cfg.classes}_train.txt").write_text(
+        "\n".join(names[:4]) + "\n")
+    (root / f"modelnet{cfg.classes}_test.txt").write_text(
+        "\n".join(names[4:]) + "\n")
+    return str(root)
+
+
+class TestModelNetLoader:
+    def test_loads_items(self, tmp_path):
+        from sonet_tpu.data.modelnet import ModelNetDataset
+        cfg = tiny().replace(classes=10, input_pc_num=64)
+        root = _fake_modelnet(tmp_path, cfg)
+        ds = ModelNetDataset(root, "train", cfg)
+        assert len(ds) == 4
+        item = ds[0]
+        assert item["pc"].shape == (64, 3)
+        assert item["sn"].shape == (64, 3)
+        assert item["node"].shape == (cfg.node_num, 3)
+        assert item["label"] in (0, 1)
+        test_ds = ModelNetDataset(root, "test", cfg)
+        assert len(test_ds) == 2
+        # test mode: no augmentation -> deterministic node
+        np.testing.assert_array_equal(test_ds[0]["node"],
+                                      test_ds[0]["node"])
+
+
+def _fake_shapenet(tmp_path, cfg, n_shapes=5, pts=100):
+    from sonet_tpu.data.shapenet import FOLDERS
+    root = tmp_path / "shapenet"
+    rows = cfg.rows
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(n_shapes):
+        folder = FOLDERS[i % 3]
+        name = f"shape{i:03d}"
+        os.makedirs(root / folder, exist_ok=True)
+        np.savez(root / folder / f"{name}_{rows}x{rows}.npz",
+                 pc=rng.standard_normal((pts, 3)).astype(np.float32),
+                 sn=rng.standard_normal((pts, 3)).astype(np.float32),
+                 part_label=rng.integers(0, 4, pts).astype(np.int64),
+                 som_node=rng.standard_normal(
+                     (cfg.node_num, 3)).astype(np.float32))
+        entries.append(f"shape_data/{folder}/{name}")
+    os.makedirs(root / "train_test_split", exist_ok=True)
+    for mode in ("train", "test"):
+        with open(root / "train_test_split"
+                  / f"shuffled_{mode}_file_list.json", "w") as f:
+            json.dump(entries, f)
+    return str(root)
+
+
+class TestShapeNetLoader:
+    def test_loads_and_resamples_up(self, tmp_path):
+        from sonet_tpu.data.shapenet import ShapeNetPartDataset
+        cfg = tiny().replace(task="segment", classes=50, input_pc_num=128)
+        root = _fake_shapenet(tmp_path, cfg, pts=100)  # 100 < 128: upsample
+        ds = ShapeNetPartDataset(root, "train", cfg)
+        item = ds[0]
+        assert item["pc"].shape == (128, 3)
+        assert item["seg"].shape == (128,)
+        assert 0 <= item["label"] < 16
+
+    def test_batch1_drop(self, tmp_path):
+        from sonet_tpu.data.shapenet import ShapeNetPartDataset
+        cfg = tiny().replace(task="segment", batch_size=4, input_pc_num=64)
+        root = _fake_shapenet(tmp_path, cfg, n_shapes=5)  # 5 % 4 == 1
+        ds = ShapeNetPartDataset(root, "train", cfg)
+        assert len(ds) == 4  # shapenet_loader.py:113-114 parity
+
+
+def _fake_mnist(tmp_path, n=20):
+    rng = np.random.default_rng(0)
+    imgs = np.zeros((n, 28, 28), np.uint8)
+    for i in range(n):
+        # draw a crude digit-ish blob whose position depends on the label
+        lab = i % 10
+        r0, c0 = 4 + lab, 4 + (lab % 5)
+        imgs[i, r0:r0 + 10, c0:c0 + 6] = 255
+    labels = (np.arange(n) % 10).astype(np.uint8)
+    np.savez(tmp_path / "mnist.npz", x_train=imgs, y_train=labels,
+             x_test=imgs[:8], y_test=labels[:8])
+    return str(tmp_path)
+
+
+class TestMNISTLoader:
+    def test_2d_items_with_som(self, tmp_path):
+        from sonet_tpu.data.mnist import MNISTPointCloudDataset
+        cfg = cfg_mod.mnist().replace(input_pc_num=64, node_num=9)
+        root = _fake_mnist(tmp_path)
+        ds = MNISTPointCloudDataset(root, "test", cfg)
+        assert len(ds) == 8
+        item = ds[0]
+        assert item["pc"].shape == (64, 2)
+        assert item["node"].shape == (9, 2)
+        assert "sn" not in item
+        assert np.abs(item["pc"]).max() <= 1.1
+
+
+class TestPrepCLI:
+    def test_som_subcommand_npz(self, tmp_path):
+        from sonet_tpu.data import prep
+        rng = np.random.default_rng(0)
+        root = tmp_path / "ds"
+        os.makedirs(root)
+        for i in range(3):
+            np.savez(root / f"s{i}.npz",
+                     pc=rng.standard_normal((300, 3)).astype(np.float32),
+                     sn=rng.standard_normal((300, 3)).astype(np.float32))
+        prep.main(["som", "--root", str(root), "--rows", "4",
+                   "--som_sample", "128", "--batch", "2"])
+        data = np.load(root / "s0.npz")
+        assert data["som_node"].shape == (16, 3)
+        assert np.isfinite(data["som_node"]).all()
+
+    def test_sample_subcommand(self, tmp_path):
+        from sonet_tpu.data import prep
+        mesh_dir = tmp_path / "meshes"
+        os.makedirs(mesh_dir)
+        with open(mesh_dir / "tri.obj", "w") as f:
+            f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+        out = tmp_path / "out"
+        prep.main(["sample", "--root", str(mesh_dir), "--out", str(out),
+                   "--points", "100", "--normalize"])
+        data = np.load(out / "tri.npz")
+        assert data["pc"].shape == (100, 3)
+        assert data["sn"].shape == (100, 3)
+
+
+class TestAugmentation:
+    def test_rotation_preserves_norms(self):
+        rng = np.random.default_rng(0)
+        pc = rng.standard_normal((50, 3))
+        sn = rng.standard_normal((50, 3))
+        som = rng.standard_normal((16, 3))
+        pc2, sn2, som2 = augmentation.rotate_point_cloud_with_normal_som(
+            pc, sn, som, rng)
+        np.testing.assert_allclose(np.linalg.norm(pc2, axis=1),
+                                   np.linalg.norm(pc, axis=1), rtol=1e-6)
+        # y coordinates unchanged (rotation about y)
+        np.testing.assert_allclose(pc2[:, 1], pc[:, 1], rtol=1e-6)
+
+    def test_jitter_clipped(self):
+        rng = np.random.default_rng(1)
+        pc = np.zeros((100, 3))
+        j = augmentation.jitter_point_cloud(pc, rng, sigma=0.5, clip=0.05)
+        assert np.abs(j).max() <= 0.05 + 1e-9
+
+    def test_batchloader_pad_last(self):
+        cfg = tiny()
+
+        class DS:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return {"x": np.full((2,), i, np.float32)}
+
+        loader = BatchLoader(DS(), 4, shuffle=False, drop_last=False,
+                             pad_last=True, num_threads=1)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[-1]["x"].shape == (4, 2)
+        assert int(batches[-1]["valid"]) == 2

@@ -1,0 +1,40 @@
+"""Retrieval evaluator tests (reference shrec16/test.py:69-99 semantics)."""
+
+import os
+
+import numpy as np
+
+from sonet_tpu import retrieval
+
+
+class TestRankAll:
+    def test_same_label_masking_and_order(self):
+        # 6 items, 2 classes by argmax; distances known
+        scores = np.array([
+            [10.0, 0.0], [9.0, 0.0], [5.0, 0.0],   # class 0
+            [0.0, 10.0], [0.0, 8.0], [0.0, 7.0],   # class 1
+        ], np.float32)
+        results = retrieval.rank_all(scores)
+        ids0, d0 = results[0]
+        # query 0: candidates only class-0 items, self first (distance 0)
+        assert set(ids0) == {0, 1, 2}
+        assert ids0[0] == 0 and d0[0] < 1e-6
+        assert list(ids0) == [0, 1, 2]  # 10 -> 9 -> 5
+        ids3, d3 = results[3]
+        assert set(ids3) == {3, 4, 5}
+        assert ids3[0] == 3
+
+    def test_top_limit(self):
+        scores = np.random.RandomState(0).randn(50, 5).astype(np.float32)
+        results = retrieval.rank_all(scores, top=7)
+        assert all(len(ids) <= 7 for ids, _ in results)
+
+    def test_write_rank_files(self, tmp_path):
+        scores = np.array([[3.0, 0.0], [2.0, 0.0], [0.0, 5.0]], np.float32)
+        ids = np.asarray([101, 202, 303])
+        results = retrieval.rank_all(scores)
+        retrieval.write_rank_files(results, ids, str(tmp_path))
+        f0 = (tmp_path / "000101").read_text().strip().splitlines()
+        assert f0[0].startswith("000101 0.0")  # self first
+        assert f0[1].startswith("000202 ")
+        assert len(list(tmp_path.iterdir())) == 3

@@ -1,0 +1,89 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4d):
+data/points sharding must compile, run, and agree with single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonet_tpu import config as cfg_mod, models, train
+from sonet_tpu.parallel import batch_specs, make_mesh, replicate, shard_batch
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _make(cfg, seed=0):
+    rs = np.random.RandomState(seed)
+    B, N, M = cfg.batch_size, cfg.input_pc_num, cfg.node_num
+    return {
+        "pc": rs.randn(B, N, 3).astype(np.float32),
+        "sn": rs.randn(B, N, 3).astype(np.float32),
+        "node": rs.randn(B, M, 3).astype(np.float32),
+        "label": rs.randint(0, cfg.classes, B).astype(np.int64),
+    }
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh((4, 2))
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("data", "points")
+
+    def test_shard_batch_placement(self):
+        cfg = cfg_mod.tiny_test().replace(batch_size=8, input_pc_num=64)
+        mesh = make_mesh((4, 2))
+        db = shard_batch(_make(cfg), mesh)
+        shard_shapes = [s.data.shape for s in db["pc"].addressable_shards]
+        assert all(s == (2, 32, 3) for s in shard_shapes)
+        assert len(db["label"].addressable_shards) == 8
+
+
+class TestShardedTraining:
+    def _run(self, mesh_shape, seed=0, steps=2):
+        cfg = cfg_mod.tiny_test().replace(batch_size=8, input_pc_num=64,
+                                          dropout=0.0)  # deterministic
+        model = models.build_model(cfg)
+        batch = _make(cfg, seed)
+        state = train.init_state(model, cfg, jax.random.PRNGKey(seed),
+                                 (jnp.asarray(batch["pc"]),
+                                  jnp.asarray(batch["sn"]),
+                                  jnp.asarray(batch["node"])),
+                                 steps_per_epoch=10)
+        train_step, eval_step = train.make_steps(model, cfg, 10)
+        if mesh_shape is None:
+            db = {k: jnp.asarray(v) for k, v in batch.items()}
+        else:
+            mesh = make_mesh(mesh_shape)
+            state = replicate(state, mesh)
+            db = shard_batch(batch, mesh)
+        rng = jax.random.PRNGKey(seed + 1)
+        losses = []
+        for _ in range(steps):
+            state, m = train_step(state, db, rng)
+            losses.append(float(m["loss"]))
+        ev = eval_step(state, db)
+        return losses, float(ev["loss"]), state
+
+    def test_dp_matches_single_device(self):
+        l1, e1, _ = self._run(None)
+        l8, e8, _ = self._run((8, 1))
+        np.testing.assert_allclose(l1, l8, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(e1, e8, rtol=5e-3, atol=5e-4)
+
+    def test_dp_x_points_matches(self):
+        l1, e1, _ = self._run(None)
+        l42, e42, _ = self._run((4, 2))
+        np.testing.assert_allclose(l1, l42, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(e1, e42, rtol=5e-3, atol=5e-4)
+
+    def test_state_stays_replicated(self):
+        _, _, state = self._run((4, 2))
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
