@@ -45,16 +45,18 @@ def main():
     train_step, _ = train.make_steps(model, cfg, 1230)
     rng = jax.random.PRNGKey(1)
 
-    # compile + warmup
+    # compile + warmup.  NB: on the axon remote backend
+    # jax.block_until_ready returns before execution completes — only a
+    # real data fetch synchronizes, so timing uses float() fetches.
     for _ in range(3):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
-    iters = 200
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # hard sync: step i depends on state i-1
     dt = (time.perf_counter() - t0) / iters
 
     clouds_per_sec = B / dt

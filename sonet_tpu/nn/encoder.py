@@ -101,8 +101,7 @@ class Encoder(nn.Module):
             first_in, train=train, epoch=epoch)
 
         # -- node pooling: the index_max kernel (networks.py:181-185) -----
-        pooled = segment_max(first_pn_out, min_idx, M,
-                             counts=counts.astype(jnp.int32))  # (B, M, 384)
+        pooled = segment_max(first_pn_out, min_idx, M)  # (B, M, 384)
 
         if cfg.som_k >= 2:
             # kNN over recentered nodes: on-device replacement for the

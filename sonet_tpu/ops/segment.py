@@ -5,24 +5,24 @@ kernel, ``index_max`` (models/index_max_ext/index_max_cuda.cu:66-100,
 index_max.cpp:33-112): given per-point features and a node id per point,
 reduce features per node.
 
-The reference returns the arg-max *index* and gathers afterwards because
-PyTorch autograd needed a differentiable gather (models/networks.py:182-185).
-In JAX the masked max itself is differentiable (gradient flows to the
-arg-max element), so we return values directly.
-
 Empty-node semantics (parity-critical, SURVEY.md §7): the reference
 gathers with ``gather_index * mask_row_max`` so an empty node reads the
-feature of stacked point 0 (networks.py:185).  ``segment_max`` reproduces
-that: empty segment -> ``data[..., 0, :]``.
+feature of stacked point 0 (networks.py:185), and the gradient of that
+gather flows to point 0.  ``segment_max`` reproduces both.
 
-Two implementations are provided and cross-checked in tests:
+Implementation notes (measured on v5e at B=8, kN=15000, M=64, C=384):
 
-* ``segment_max_onehot`` — per-node masked max expressed so XLA fuses the
-  (B, N, M, C) broadcast into the reduction loop (never materialized);
-* ``segment_max_scatter`` — ``jax.ops.segment_max`` vmapped over batch.
-
-``segment_max`` picks the default (onehot: MXU/VPU-friendly, no serialized
-scatter).  A fused Pallas kernel can be slotted in behind the same API.
+* forward — ``jax.ops.segment_max`` (scatter-max) at ~2.2 ms.  The naive
+  "one-hot + where + max-reduce" form costs 11 ms because XLA does not
+  fuse the (B, N, M, C) broadcast well; an associative-scan segmented max
+  costs 8 ms; a windowed Pallas kernel 4.3 ms (kept in ``ops.pallas`` as
+  the reference-parity argmax kernel and cross-check).
+* backward — XLA's scatter-max VJP costs ~58 ms (serialized scatter), so
+  ``segment_max`` carries a custom VJP that routes gradients through a
+  winner-equality mask with one-hot *matmuls* (MXU) instead of gathers:
+  ~1.5 ms.  On exact float ties the gradient is split equally among
+  winners (sum-preserving); the reference sends it all to the first
+  winner — ties only arise for bit-identical activations.
 """
 
 from __future__ import annotations
@@ -32,75 +32,125 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = -1e10  # reference uses -1000 (index_max_cuda.cu:72); any value
-# below the true min works because empty nodes are patched afterwards.
-
-
-def _empty_patch(out: jax.Array, data: jax.Array, counts: jax.Array) -> jax.Array:
-    """empty node -> feature of point 0 (networks.py:185 semantics)."""
-    point0 = data[..., 0:1, :]  # (B, 1, C)
-    empty = (counts == 0)[..., None]  # (B, M, 1)
-    return jnp.where(empty, point0, out)
+_HI = jax.lax.Precision.HIGHEST
 
 
 def segment_counts(seg_ids: jax.Array, num_segments: int) -> jax.Array:
-    """(B, N) int ids -> (B, M) counts."""
-    B = seg_ids.shape[0]
-    return jnp.zeros((B, num_segments), jnp.int32).at[
-        jnp.arange(B)[:, None], seg_ids].add(1)
+    """(B, N) int ids -> (B, M) counts (one-hot reduce; no scatter)."""
+    onehot = jax.nn.one_hot(seg_ids, num_segments, dtype=jnp.float32)
+    return jnp.sum(onehot, axis=1).astype(jnp.int32)
 
 
-def segment_max_onehot(data: jax.Array, seg_ids: jax.Array, num_segments: int,
-                       counts: jax.Array | None = None,
-                       block_m: int = 16) -> jax.Array:
-    """Masked segment max, blocked over segments to bound the virtual
-    (B, N, Mb, C) broadcast that XLA fuses into its reduce.
+def _empty_patch(out: jax.Array, data: jax.Array,
+                 counts: jax.Array) -> jax.Array:
+    """empty node -> feature of point 0 (networks.py:185 semantics)."""
+    point0 = data[..., 0:1, :]
+    empty = (counts == 0)[..., None]
+    return jnp.where(empty, point0, out)
 
-    data: (B, N, C); seg_ids: (B, N) int32 -> (B, M, C).
-    """
-    B, N, C = data.shape
+
+# ---------------------------------------------------------------------------
+# default segment_max: scatter forward + matmul-routed custom backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_max(data: jax.Array, seg_ids: jax.Array,
+                num_segments: int) -> jax.Array:
+    """data (B, N, C), seg_ids (B, N) int -> (B, M, C)."""
+    return _fwd(data, seg_ids, num_segments)[0]
+
+
+def _fwd(data, seg_ids, num_segments):
     M = num_segments
-    if counts is None:
-        counts = segment_counts(seg_ids, M)
-
-    ids = seg_ids[:, :, None]  # (B, N, 1)
-
-    def one_block(m0):
-        mids = m0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_m), 2)
-        mask = ids == mids  # (B, N, Mb)
-        # (B, N, Mb, C) is virtual: XLA fuses select+broadcast into the reduce.
-        masked = jnp.where(mask[..., None], data[:, :, None, :], _NEG_INF)
-        return jnp.max(masked, axis=1)  # (B, Mb, C)
-
-    nblocks = -(-M // block_m)
-    if nblocks * block_m != M:
-        # pad segment count up; extra segments are empty and sliced away
-        M_pad = nblocks * block_m
-    else:
-        M_pad = M
-    starts = jnp.arange(nblocks, dtype=jnp.int32) * block_m
-    blocks = jax.lax.map(one_block, starts)  # (nb, B, Mb, C)
-    out = jnp.transpose(blocks, (1, 0, 2, 3)).reshape(B, M_pad, C)[:, :M]
-    return _empty_patch(out, data, counts)
+    seg_ids = seg_ids.astype(jnp.int32)
+    out = jax.vmap(
+        functools.partial(jax.ops.segment_max, num_segments=M))(data,
+                                                                seg_ids)
+    counts = segment_counts(seg_ids, M)
+    out = jnp.where((counts == 0)[..., None], 0.0, out)  # clear -inf
+    out = _empty_patch(out, data, counts)
+    return out, (data, seg_ids, out, counts)
 
 
-def segment_max_scatter(data: jax.Array, seg_ids: jax.Array, num_segments: int,
+def _bwd(num_segments, res, g):
+    data, seg_ids, out, counts = res
+    M = num_segments
+    ids3 = seg_ids[..., None]
+    # winner mask: exact value comparison against the segment's max
+    out_pp = jnp.take_along_axis(out, ids3, axis=1)        # (B, N, C)
+    eq = (data == out_pp).astype(jnp.float32)
+    onehot = jax.nn.one_hot(seg_ids, M, dtype=jnp.float32)  # (B, N, M)
+    # tie counts per (segment, channel); rounded so the division is exact
+    ties = jnp.einsum("bnm,bnc->bmc", onehot, eq,
+                      preferred_element_type=jnp.float32, precision=_HI)
+    empty = (counts == 0)[..., None]                        # (B, M, 1)
+    g = g.astype(jnp.float32)
+    g_eff = jnp.where(empty, 0.0, g)
+    # route per-segment values back to points on the MXU (gathers from a
+    # (B, M, C) table are ~10x slower than these one-hot matmuls)
+    g_pp = jnp.einsum("bnm,bmc->bnc", onehot, g_eff,
+                      preferred_element_type=jnp.float32, precision=_HI)
+    ties_pp = jnp.round(jnp.einsum("bnm,bmc->bnc", onehot, ties,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_HI))
+    grad = eq * g_pp / jnp.maximum(ties_pp, 1.0)
+    # empty segments forwarded data[:, 0, :]: gradient to point 0
+    g_empty = jnp.sum(jnp.where(empty, g, 0.0), axis=1)     # (B, C)
+    grad = grad.at[:, 0, :].add(g_empty)
+    return (grad.astype(data.dtype),
+            jnp.zeros(seg_ids.shape, jax.dtypes.float0))
+
+
+segment_max.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# named variants (cross-check oracles; see tests/test_kernels.py)
+# ---------------------------------------------------------------------------
+
+def segment_max_scatter(data: jax.Array, seg_ids: jax.Array,
+                        num_segments: int,
                         counts: jax.Array | None = None) -> jax.Array:
-    """jax.ops.segment_max vmapped over batch (scatter-based baseline)."""
+    """jax.ops.segment_max vmapped over batch, XLA autodiff (slow bwd)."""
+    seg_ids = seg_ids.astype(jnp.int32)
     if counts is None:
         counts = segment_counts(seg_ids, num_segments)
     out = jax.vmap(
         functools.partial(jax.ops.segment_max, num_segments=num_segments)
     )(data, seg_ids)
-    out = jnp.where((counts == 0)[..., None], 0.0, out)  # segment_max gives -inf
+    out = jnp.where((counts == 0)[..., None], 0.0, out)
     return _empty_patch(out, data, counts)
 
 
-def segment_max(data: jax.Array, seg_ids: jax.Array, num_segments: int,
-                counts: jax.Array | None = None) -> jax.Array:
-    """Default node-pooling entry point (see module docstring)."""
-    return segment_max_onehot(data, seg_ids, num_segments, counts)
+def segment_max_onehot(data: jax.Array, seg_ids: jax.Array,
+                       num_segments: int,
+                       counts: jax.Array | None = None,
+                       block_m: int = 16) -> jax.Array:
+    """Masked-broadcast max, blocked over segments (reference formulation;
+    kept as a differentiable oracle — slow on TPU, see module docstring)."""
+    B, N, C = data.shape
+    M = num_segments
+    if counts is None:
+        counts = segment_counts(seg_ids, M)
+    ids = seg_ids[:, :, None]
 
+    def one_block(m0):
+        mids = m0 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_m), 2)
+        mask = ids == mids
+        masked = jnp.where(mask[..., None], data[:, :, None, :], -1e10)
+        return jnp.max(masked, axis=1)
+
+    nblocks = -(-M // block_m)
+    M_pad = nblocks * block_m
+    starts = jnp.arange(nblocks, dtype=jnp.int32) * block_m
+    blocks = jax.lax.map(one_block, starts)
+    out = jnp.transpose(blocks, (1, 0, 2, 3)).reshape(B, M_pad, C)[:, :M]
+    return _empty_patch(out, data, counts)
+
+
+# ---------------------------------------------------------------------------
+# segment sum / mean (MXU one-hot matmuls)
+# ---------------------------------------------------------------------------
 
 def segment_sum_onehot(data: jax.Array, onehot: jax.Array) -> jax.Array:
     """Segment sum as an MXU matmul with a pre-built one-hot mask.
@@ -117,5 +167,5 @@ def segment_mean_onehot(data: jax.Array, onehot: jax.Array,
                         eps: float = 1e-5) -> jax.Array:
     """Masked per-segment mean: sum / (count + eps) (networks.py:142)."""
     s = segment_sum_onehot(data, onehot)
-    cnt = jnp.sum(onehot, axis=-2)[..., None]  # (B, M, 1)
+    cnt = jnp.sum(onehot, axis=-2)[..., None]
     return s / (cnt + eps)

@@ -1,0 +1,56 @@
+"""Utils tests: metric logging, visualization, profiling helpers."""
+
+import json
+import os
+
+import numpy as np
+
+from sonet_tpu.utils import (HTMLGallery, MetricLogger, StepTimer,
+                             load_part_colors, save_point_cloud_png,
+                             save_seg_comparison)
+
+
+class TestMetricLogger:
+    def test_jsonl_and_csv(self, tmp_path):
+        lg = MetricLogger(str(tmp_path), name="t", quiet=True)
+        lg.log(1, {"loss": 1.5, "acc": 0.5}, epoch=0, prefix="train_")
+        lg.log(2, {"loss": 1.2, "acc": 0.6}, epoch=0, prefix="train_")
+        lg.close()
+        lines = (tmp_path / "t_metrics.jsonl").read_text().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[0])
+        assert rec["train_loss"] == 1.5 and rec["step"] == 1
+        assert (tmp_path / "t_metrics.csv").exists()
+
+    def test_step_timer_warmup(self):
+        t = StepTimer(warmup=1)
+        import time
+        for _ in range(3):
+            with t:
+                time.sleep(0.01)
+        assert 0.005 < t.mean < 0.05
+
+
+class TestVisualize:
+    def test_png_3d_and_2d(self, tmp_path):
+        rs = np.random.RandomState(0)
+        p3 = save_point_cloud_png(str(tmp_path / "a.png"),
+                                  rs.randn(100, 3), title="x")
+        p2 = save_point_cloud_png(str(tmp_path / "b.png"), rs.randn(100, 2))
+        assert os.path.getsize(p3) > 1000 and os.path.getsize(p2) > 1000
+
+    def test_seg_comparison_and_gallery(self, tmp_path):
+        rs = np.random.RandomState(1)
+        pc = rs.randn(50, 3)
+        seg = rs.randint(0, 4, 50)
+        paths = save_seg_comparison(str(tmp_path), "shape0", pc, seg, seg)
+        g = HTMLGallery(str(tmp_path))
+        g.add_row("epoch 0", paths)
+        idx = g.save()
+        content = open(idx).read()
+        assert "shape0_predicted.png" in content
+        assert "shape0_gt.png" in content
+
+    def test_part_colors_fallback(self):
+        c = load_part_colors("", 50)
+        assert c.shape == (50, 3)
