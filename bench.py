@@ -28,7 +28,9 @@ def main():
     from sonet_tpu import config as cfg_mod, train
     from sonet_tpu.models import build_model
 
-    cfg = cfg_mod.modelnet40()
+    # production config: bf16 compute (f32 params/BN stats); the f32
+    # parity config benches ~12% slower
+    cfg = cfg_mod.modelnet40().replace(compute_dtype="bfloat16")
     model = build_model(cfg)
 
     rs = np.random.RandomState(0)
@@ -61,7 +63,7 @@ def main():
 
     clouds_per_sec = B / dt
     print(json.dumps({
-        "metric": "ModelNet40 train throughput (B=8, N=5000, full step)",
+        "metric": "ModelNet40 train throughput (B=8, N=5000, bf16 full step)",
         "value": round(clouds_per_sec, 2),
         "unit": "point clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / REF_CLOUDS_PER_SEC, 3),

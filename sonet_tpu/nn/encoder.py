@@ -65,7 +65,10 @@ class Encoder(nn.Module):
         k = cfg.k
         bn_kw = dict(momentum=cfg.bn_momentum,
                      bn_momentum_decay_step=cfg.bn_momentum_decay_step,
-                     bn_momentum_decay=cfg.bn_momentum_decay)
+                     bn_momentum_decay=cfg.bn_momentum_decay,
+                     compute_dtype=(jnp.bfloat16
+                                    if cfg.compute_dtype == "bfloat16"
+                                    else None))
 
         # -- point -> node top-k assignment (networks.py:127) -------------
         assign = assign_topk(jax.lax.stop_gradient(pc), node, k)
@@ -128,6 +131,7 @@ class Encoder(nn.Module):
                 normalization=cfg.normalization, **bn_kw,
                 name="final_pointnet")(final_in, train=train, epoch=epoch)
 
+        final_pn_out = final_pn_out.astype(jnp.float32)
         feature = jnp.max(final_pn_out, axis=1)  # (B, F) (networks.py:197)
 
         return EncoderOutput(

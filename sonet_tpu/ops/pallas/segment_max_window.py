@@ -1,0 +1,113 @@
+"""Pallas TPU kernel: windowed segment max for (near-)sorted segment ids.
+
+Second-generation node-pooling kernel (see segment_argmax.py for the
+argmax/reference-parity variant).  Instead of looping node-by-node with
+per-row writes, each point chunk is reduced against a W-wide window of
+node ids in one vectorized (Nc, W, Cb) masked max, and the (W, Cb)
+result is combined into the output block with a single dynamic-slice
+update.  For ids sorted along the point axis the id span per chunk is
+~M*Nc/N, so one or two windows cover a chunk; unsorted input remains
+correct via more window iterations (span widens to M).
+
+Forward only — pair with the matmul-routed equality VJP in
+``ops.segment`` for gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -3.0e38
+
+
+def _make_kernel(num_segments: int, window: int):
+    M, W = num_segments, window
+
+    def kernel(idx_ref, data_ref, val_ref):
+        n = pl.program_id(2)
+
+        @pl.when(n == 0)
+        def _init():
+            val_ref[...] = jnp.full_like(val_ref, _NEG)
+
+        ids = idx_ref[0]            # (Nc, 1) int32
+        data = data_ref[0]          # (Nc, Cb)
+        lo = jnp.minimum(jnp.min(ids), M - 1)
+        hi = jnp.minimum(jnp.max(ids), M - 1)
+        n_win = (hi - lo) // W + 1
+
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)  # (1, W)
+
+        def body(w, _):
+            base = jnp.minimum(lo + w * W, M - W)   # clamped window start
+            # f32 mask: Mosaic only supports minor-dim insertion on
+            # 32-bit types (i1 [:, :, None] fails to compile)
+            ohf = ((ids - base) == w_iota).astype(jnp.float32)  # (Nc, W)
+            masked = jnp.where(ohf[:, :, None] > 0.0,
+                               data[:, None, :], _NEG)
+            wmax = jnp.max(masked, axis=0)           # (W, Cb)
+            prev = val_ref[0, pl.ds(base, W), :]
+            val_ref[0, pl.ds(base, W), :] = jnp.maximum(prev, wmax)
+            return 0
+
+        jax.lax.fori_loop(0, n_win, body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "window",
+                                             "block_n", "block_c",
+                                             "interpret"))
+def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
+                         num_segments: int, window: int = 16,
+                         block_n: int = 512, block_c: int = 128,
+                         interpret: bool | None = None) -> jax.Array:
+    """Segment max values (B, M, C); empty segments -> data[:, 0, :].
+
+    data (B, N, C) f32/bf16; seg_ids (B, N) int32 (sorted = fast).
+    """
+    B, N, C = data.shape
+    M = num_segments
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    window = min(window, M)
+    block_n = min(block_n, N)
+    block_c = min(block_c, max(C, 1))
+
+    orig_dtype = data.dtype
+    data32 = jax.lax.stop_gradient(data).astype(jnp.float32)
+    ids = jax.lax.stop_gradient(seg_ids).astype(jnp.int32)
+    n_pad = (-N) % block_n
+    c_pad = (-C) % block_c
+    if n_pad:
+        data32 = jnp.pad(data32, ((0, 0), (0, n_pad), (0, 0)))
+        ids = jnp.pad(ids, ((0, 0), (0, n_pad)), constant_values=M)
+    if c_pad:
+        data32 = jnp.pad(data32, ((0, 0), (0, 0), (0, c_pad)))
+    Np, Cp = data32.shape[1], data32.shape[2]
+
+    vals = pl.pallas_call(
+        _make_kernel(M, window),
+        grid=(B, Cp // block_c, Np // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, 1), lambda b, c, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n, block_c), lambda b, c, n: (b, n, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, M, block_c), lambda b, c, n: (b, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, Cp), jnp.float32),
+        interpret=interpret,
+    )(ids[..., None], data32)[:, :, :C]
+
+    # empty segments: -inf -> feature of point 0 (networks.py:185 parity)
+    counts = jnp.sum(jax.nn.one_hot(seg_ids, M, dtype=jnp.float32), axis=1)
+    empty = (counts == 0)[..., None]
+    vals = jnp.where(empty, data32[:, 0:1, :C], vals)
+    return vals.astype(orig_dtype)

@@ -120,3 +120,22 @@ class TestNativeKernel:
         np.testing.assert_allclose(vals[0, 0], [5.0, 6.0])
         np.testing.assert_allclose(vals[0, 2], [5.0, 6.0])
         np.testing.assert_array_equal(idx[0, 0], [0, 0])
+
+
+class TestWindowedKernel:
+    @pytest.mark.parametrize("sorted_ids", [True, False])
+    def test_matches_scatter(self, sorted_ids):
+        from sonet_tpu.ops.pallas import segment_max_windowed
+        data, ids = _case(sorted_ids=sorted_ids)
+        got = segment_max_windowed(data, ids, 8, window=4, block_n=16,
+                                   block_c=8)
+        want = ops.segment_max_scatter(data, ids, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def test_window_larger_than_m(self):
+        from sonet_tpu.ops.pallas import segment_max_windowed
+        data, ids = _case()
+        got = segment_max_windowed(data, ids, 8, window=32, block_n=16,
+                                   block_c=8)
+        want = ops.segment_max_scatter(data, ids, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
