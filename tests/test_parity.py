@@ -1,0 +1,373 @@
+"""Forward parity vs the actual PyTorch reference (SURVEY.md §7 step 8).
+
+Builds the reference torch modules from /root/reference (read-only,
+torch CPU), randomizes their weights AND BatchNorm running statistics,
+transplants those exact weights into the flax modules, and compares
+forward passes on identical inputs in eval mode.
+
+The reference's CUDA ``index_max`` extension is substituted with this
+repo's native C++ kernel (itself cross-checked against the Pallas and
+XLA implementations in test_kernels.py) wrapped in the extension's
+interface, so the full Encoder.forward runs unmodified.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from sonet_tpu import config as cfg_mod
+from sonet_tpu import nn as snn
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+# ---------------------------------------------------------------------------
+# reference import machinery
+# ---------------------------------------------------------------------------
+
+def _index_max_stub():
+    """index_max.forward_cuda(data BxCxN, index BxN int, M) -> BxCxM long,
+    backed by sonet_tpu.native (first-max-wins, like the CUDA kernel)."""
+    from sonet_tpu import native
+
+    mod = types.ModuleType("index_max")
+
+    def forward_cuda(data, index, M):
+        d = data.detach().numpy().transpose(0, 2, 1)  # B,N,C
+        ids = index.detach().numpy().astype(np.int32)
+        _, idx = native.segment_argmax_native(d, ids, int(M))
+        return torch.from_numpy(idx.transpose(0, 2, 1).astype(np.int64))
+
+    mod.forward_cuda = forward_cuda
+    mod.forward_cpu = forward_cuda
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    sys.modules.setdefault("index_max", _index_max_stub())
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+        networks = importlib.import_module("models.networks")
+    finally:
+        sys.path.pop(0)
+    return networks
+
+
+class VirtualOpt:
+    def __init__(self, cfg):
+        self.activation = cfg.activation
+        self.normalization = cfg.normalization
+        self.bn_momentum = cfg.bn_momentum
+        self.bn_momentum_decay_step = cfg.bn_momentum_decay_step
+        self.bn_momentum_decay = cfg.bn_momentum_decay
+        self.surface_normal = cfg.surface_normal
+        self.som_k = cfg.som_k
+        self.som_k_type = cfg.som_k_type
+        self.feature_num = cfg.feature_num
+        self.node_num = cfg.node_num
+        self.batch_size = cfg.batch_size
+        self.gpu_id = 0  # BatchSOM asserts >= 0; falls back to CPU device
+        self.k = cfg.k
+        self.classes = cfg.classes
+        self.dropout = cfg.dropout
+        self.input_pc_num = cfg.input_pc_num
+        self.output_fc_pc_num = cfg.output_fc_pc_num
+        self.output_conv_pc_num = cfg.output_conv_pc_num
+        self.device = torch.device("cpu")
+
+
+def _cfg():
+    return cfg_mod.Config(
+        task="classify", classes=5, batch_size=2, input_pc_num=32,
+        surface_normal=True, feature_num=96, node_num=16, k=2, som_k=4,
+        som_k_type="avg", dropout=0.0, normalization="batch",
+        output_fc_pc_num=16, output_conv_pc_num=1024)
+
+
+def _randomize_torch(module, seed=0):
+    """Random weights AND BN running stats so eval-mode BN is nontrivial."""
+    g = torch.Generator().manual_seed(seed)
+    for p in module.parameters():
+        with torch.no_grad():
+            p.uniform_(-0.3, 0.3, generator=g)
+    for m in module.modules():
+        if hasattr(m, "running_mean") and m.running_mean is not None:
+            with torch.no_grad():
+                m.running_mean.uniform_(-0.2, 0.2, generator=g)
+                m.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+# ---------------------------------------------------------------------------
+# weight transplant: torch state -> flax params/batch_stats
+# ---------------------------------------------------------------------------
+
+def _conv_to_dense(w):
+    """torch conv1d/2d 1x1 weight (Cout, Cin, ...) -> dense kernel
+    (Cin, Cout)."""
+    w = w.detach().numpy()
+    return w.reshape(w.shape[0], w.shape[1]).T
+
+
+def _point_layer(torch_mod, has_norm):
+    """EquivariantLayer / MyConv2d / MyLinear -> PointLayer subtree."""
+    if hasattr(torch_mod, "conv"):
+        kernel = _conv_to_dense(torch_mod.conv.weight)
+        bias = torch_mod.conv.bias.detach().numpy()
+    else:  # MyLinear
+        kernel = torch_mod.linear.weight.detach().numpy().T
+        bias = torch_mod.linear.bias.detach().numpy()
+    params = {"Dense_0": {"kernel": jnp.asarray(kernel),
+                          "bias": jnp.asarray(bias)}}
+    stats = {}
+    if has_norm:
+        n = torch_mod.norm
+        params["BatchNorm_0"] = {
+            "scale": jnp.asarray(n.weight.detach().numpy()),
+            "bias": jnp.asarray(n.bias.detach().numpy())}
+        stats["BatchNorm_0"] = {
+            "mean": jnp.asarray(n.running_mean.detach().numpy()),
+            "var": jnp.asarray(n.running_var.detach().numpy())}
+    return params, stats
+
+
+def _stack(torch_layers, norm_flags):
+    params, stats = {}, {}
+    for i, (tl, has_norm) in enumerate(zip(torch_layers, norm_flags)):
+        p, s = _point_layer(tl, has_norm)
+        params[f"PointLayer_{i}"] = p
+        if s:
+            stats[f"PointLayer_{i}"] = s
+    return params, stats
+
+
+def _encoder_transplant(tenc, cfg):
+    """torch Encoder -> flax Encoder {params, batch_stats}."""
+    params, stats = {}, {}
+    # first_pointnet: PointResNet, 4 layers, last has no norm
+    p, s = _stack(tenc.first_pointnet.layers, [True, True, True, False])
+    params["first_pointnet"], stats["first_pointnet"] = p, s
+    if cfg.som_k >= 2:
+        p, s = _stack(tenc.knnlayer.layers, [True, True])
+        params["knnlayer"], stats["knnlayer"] = p, s
+        p, s = _stack(tenc.final_pointnet.layers, [True, False])
+        params["final_pointnet"], stats["final_pointnet"] = p, s
+    else:
+        p, s = _stack(tenc.final_pointnet.layers, [True, True, True, False])
+        params["final_pointnet"], stats["final_pointnet"] = p, s
+    return params, stats
+
+
+def _classifier_transplant(tcls):
+    params, stats = {}, {}
+    for name, tl, has_norm in (("fc1", tcls.fc1, True),
+                               ("fc2", tcls.fc2, True),
+                               ("fc3", tcls.fc3, False)):
+        p, s = _point_layer(tl, has_norm)
+        params[name] = p
+        if s:
+            stats[name] = s
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def _inputs(cfg, seed=1):
+    rs = np.random.RandomState(seed)
+    B, N, M = cfg.batch_size, cfg.input_pc_num, cfg.node_num
+    pc = rs.randn(B, N, 3).astype(np.float32)
+    sn = rs.randn(B, N, 3).astype(np.float32)
+    node = rs.randn(B, M, 3).astype(np.float32)
+    return pc, sn, node
+
+
+class TestEncoderClassifierParity:
+    @pytest.fixture(scope="class")
+    def setup(self, ref):
+        from sonet_tpu import native
+        if not native.available():
+            pytest.skip("g++ unavailable")
+        cfg = _cfg()
+        opt = VirtualOpt(cfg)
+        tenc = ref.Encoder(opt)
+        tcls = ref.Classifier(opt)
+        _randomize_torch(tenc, 0)
+        _randomize_torch(tcls, 1)
+        tenc.eval()
+        tcls.eval()
+        return cfg, tenc, tcls
+
+    def test_encoder_forward_parity(self, setup):
+        cfg, tenc, tcls = setup
+        pc, sn, node = _inputs(cfg)
+        # on-device kNN indices fed to BOTH sides (the reference accepts
+        # precomputed indices, networks.py:331-332)
+        from sonet_tpu.ops import knn
+        knn_I = np.asarray(knn(jnp.asarray(node), cfg.som_k))
+
+        # torch side: channel-first
+        t_feat = tenc(torch.from_numpy(pc.transpose(0, 2, 1)),
+                      torch.from_numpy(sn.transpose(0, 2, 1)),
+                      torch.from_numpy(node.transpose(0, 2, 1)),
+                      torch.from_numpy(knn_I.astype(np.int64)))
+        t_score = tcls(t_feat)
+
+        # flax side with transplanted weights
+        enc = snn.Encoder(cfg)
+        variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(pc),
+                             jnp.asarray(sn), jnp.asarray(node),
+                             jnp.asarray(knn_I), train=False)
+        eparams, estats = _encoder_transplant(tenc, cfg)
+        out = enc.apply({"params": eparams, "batch_stats": estats},
+                        jnp.asarray(pc), jnp.asarray(sn), jnp.asarray(node),
+                        jnp.asarray(knn_I), train=False)
+
+        # intermediate: first pointnet output (torch BxCxkN vs ours BxkNxC)
+        np.testing.assert_allclose(
+            np.asarray(out.first_pn_out),
+            tenc.first_pn_out.detach().numpy().transpose(0, 2, 1),
+            rtol=RTOL, atol=ATOL)
+        # node pooling (the index_max + gather path)
+        np.testing.assert_allclose(
+            np.asarray(out.first_pn_out_masked_max),
+            tenc.first_pn_out_masked_max.detach().numpy().transpose(0, 2, 1),
+            rtol=RTOL, atol=ATOL)
+        # global feature
+        np.testing.assert_allclose(np.asarray(out.feature),
+                                   t_feat.detach().numpy(),
+                                   rtol=RTOL, atol=ATOL)
+
+        # classifier head on the same feature
+        head = snn.ClassifierHead(cfg)
+        hv = head.init(jax.random.PRNGKey(1), out.feature, train=False)
+        cparams, cstats = _classifier_transplant(tcls)
+        score = head.apply({"params": cparams, "batch_stats": cstats},
+                           out.feature, train=False)
+        np.testing.assert_allclose(np.asarray(score),
+                                   t_score.detach().numpy(),
+                                   rtol=RTOL, atol=ATOL)
+
+    def test_encoder_som_k0_parity(self, ref):
+        from sonet_tpu import native
+        if not native.available():
+            pytest.skip("g++ unavailable")
+        cfg = _cfg().replace(som_k=0)
+        opt = VirtualOpt(cfg)
+        tenc = ref.Encoder(opt)
+        _randomize_torch(tenc, 2)
+        tenc.eval()
+        pc, sn, node = _inputs(cfg, seed=3)
+        knn_I = np.tile(np.arange(cfg.node_num)[:, None],
+                        (cfg.batch_size, 1, 1)).astype(np.int64)
+        t_feat = tenc(torch.from_numpy(pc.transpose(0, 2, 1)),
+                      torch.from_numpy(sn.transpose(0, 2, 1)),
+                      torch.from_numpy(node.transpose(0, 2, 1)),
+                      torch.from_numpy(knn_I))
+        enc = snn.Encoder(cfg)
+        eparams, estats = _encoder_transplant(tenc, cfg)
+        out = enc.apply({"params": eparams, "batch_stats": estats},
+                        jnp.asarray(pc), jnp.asarray(sn), jnp.asarray(node),
+                        train=False)
+        np.testing.assert_allclose(np.asarray(out.feature),
+                                   t_feat.detach().numpy(),
+                                   rtol=RTOL, atol=ATOL)
+
+
+class TestDecoderParity:
+    def test_decoder_linear_parity(self, ref):
+        cfg = _cfg()
+        opt = VirtualOpt(cfg)
+        tdec = ref.DecoderLinear(opt)
+        _randomize_torch(tdec, 4)
+        tdec.eval()
+        feat = np.random.RandomState(5).randn(
+            2, cfg.feature_num).astype(np.float32)
+        t_pc = tdec(torch.from_numpy(feat)).detach().numpy()  # (B, 3, P)
+
+        dec = snn.DecoderLinear(cfg)
+        P = cfg.output_fc_pc_num
+        params, stats = {}, {}
+        linears = [tdec.linear1, tdec.linear2, tdec.linear3]
+        for i, tl in enumerate(linears):
+            p, s = _point_layer(tl, True)
+            params[f"PointLayer_{i}"] = p
+            stats[f"PointLayer_{i}"] = s
+        params["linear_out"] = {
+            "kernel": jnp.asarray(
+                tdec.linear_out.linear.weight.detach().numpy().T),
+            "bias": jnp.asarray(
+                tdec.linear_out.linear.bias.detach().numpy())}
+        out = dec.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(feat), train=False)  # (B, P, 3)
+        np.testing.assert_allclose(np.asarray(out),
+                                   t_pc.transpose(0, 2, 1),
+                                   rtol=RTOL, atol=ATOL)
+
+
+class TestSegmenterParity:
+    def test_segmenter_forward_parity(self, ref):
+        from sonet_tpu import native
+        if not native.available():
+            pytest.skip("g++ unavailable")
+        cfg = _cfg().replace(task="segment", classes=7)
+        opt = VirtualOpt(cfg)
+        tenc = ref.Encoder(opt)
+        tseg = ref.Segmenter(opt)
+        _randomize_torch(tenc, 6)
+        _randomize_torch(tseg, 7)
+        tenc.eval()
+        tseg.eval()
+
+        pc, sn, node = _inputs(cfg, seed=8)
+        label = np.asarray([0, 3], np.int64)
+        from sonet_tpu.ops import knn
+        knn_I = np.asarray(knn(jnp.asarray(node), cfg.som_k))
+
+        pc_t = torch.from_numpy(pc.transpose(0, 2, 1))
+        sn_t = torch.from_numpy(sn.transpose(0, 2, 1))
+        t_feat = tenc(pc_t, sn_t, torch.from_numpy(node.transpose(0, 2, 1)),
+                      torch.from_numpy(knn_I.astype(np.int64)))
+        # node->point skip gathers exactly as segmenter.py:89-98
+        B, F, kN = cfg.batch_size, cfg.feature_num, cfg.k * cfg.input_pc_num
+        _, mask_max_idx = torch.max(tenc.mask, dim=2)
+        mm = mask_max_idx.unsqueeze(1)
+        f384 = torch.gather(tenc.first_pn_out_masked_max, 2,
+                            mm.expand(B, 384, kN))
+        f512 = torch.gather(tenc.knn_feature_1, 2, mm.expand(B, 512, kN))
+        ffn = torch.gather(tenc.final_pn_out, 2, mm.expand(B, F, kN))
+        t_score = tseg(tenc.x_decentered, pc_t, tenc.centers, sn_t,
+                       torch.from_numpy(label), tenc.first_pn_out,
+                       f384, f512, ffn, t_feat)  # (B, classes, N)
+
+        # flax side
+        enc = snn.Encoder(cfg)
+        eparams, estats = _encoder_transplant(tenc, cfg)
+        out = enc.apply({"params": eparams, "batch_stats": estats},
+                        jnp.asarray(pc), jnp.asarray(sn), jnp.asarray(node),
+                        jnp.asarray(knn_I), train=False)
+        head = snn.SegmenterHead(cfg)
+        params, stats = {}, {}
+        for i, (tl, has_norm) in enumerate(
+                [(tseg.layer1, True), (tseg.layer2, True),
+                 (tseg.layer3, True), (tseg.layer4, True),
+                 (tseg.layer5, False)], start=1):
+            p, s = _point_layer(tl, has_norm)
+            params[f"layer{i}"] = p
+            if s:
+                stats[f"layer{i}"] = s
+        score = head.apply({"params": params, "batch_stats": stats},
+                           out, jnp.asarray(label), train=False)
+        np.testing.assert_allclose(np.asarray(score),
+                                   t_score.detach().numpy().transpose(0, 2, 1),
+                                   rtol=RTOL, atol=ATOL)
