@@ -94,6 +94,29 @@ class BatchNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class InstanceNorm(nn.Module):
+    """Instance normalization over the point axes, per sample per channel
+    (the reference's ``--normalization instance`` option,
+    layers.py:132-133/178-179/256-257: torch InstanceNorm1d/2d with
+    affine=True, no running stats)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        if x.ndim < 3:  # (B, C): nothing to normalize over — identity+affine
+            return x * scale + bias
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
 class PointLayer(nn.Module):
     """Dense -> [BatchNorm] -> [activation] over the trailing axis.
 
@@ -126,10 +149,11 @@ class PointLayer(nn.Module):
                           momentum_decay_step=self.bn_momentum_decay_step,
                           momentum_decay=self.bn_momentum_decay)(
                 x, use_running_average=not train, epoch=epoch)
+        elif self.normalization == "instance":
+            x = InstanceNorm()(x)
         elif self.normalization is not None:
             raise NotImplementedError(
-                f"normalization={self.normalization!r} (reference supports "
-                "'instance' but never uses it; add here if needed)")
+                f"normalization={self.normalization!r}")
         return activation_fn(self.activation)(x)
 
 

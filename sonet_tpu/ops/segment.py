@@ -76,13 +76,24 @@ def _bwd(num_segments, res, g):
     data, seg_ids, out, counts = res
     M = num_segments
     ids3 = seg_ids[..., None]
-    # winner mask: exact value comparison against the segment's max
-    out_pp = jnp.take_along_axis(out, ids3, axis=1)        # (B, N, C)
-    eq = (data == out_pp).astype(jnp.float32)
     onehot = jax.nn.one_hot(seg_ids, M, dtype=jnp.float32)  # (B, N, M)
+    # winner mask: exact value comparison against the segment's max.
+    # bf16 data: route via one-hot matmul — exact (one-hot rows have a
+    # single 1.0; bf16 values pass through the bf16 MXU unchanged) and
+    # ~10x faster than the row gather.  f32 data: gather (matmul at MXU
+    # precision would not be bit-exact and would break the equality).
+    if data.dtype == jnp.bfloat16:
+        out_pp = jnp.einsum("bnm,bmc->bnc", onehot,
+                            out.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+    else:
+        out_pp = jnp.take_along_axis(out, ids3, axis=1)     # (B, N, C)
+    eq = (data == out_pp).astype(jnp.float32)
     # tie counts per (segment, channel); rounded so the division is exact
+    # (inputs are exact in bf16; accumulation is f32)
     ties = jnp.einsum("bnm,bnc->bmc", onehot, eq,
-                      preferred_element_type=jnp.float32, precision=_HI)
+                      preferred_element_type=jnp.float32)
     empty = (counts == 0)[..., None]                        # (B, M, 1)
     g = g.astype(jnp.float32)
     g_eff = jnp.where(empty, 0.0, g)
@@ -91,8 +102,7 @@ def _bwd(num_segments, res, g):
     g_pp = jnp.einsum("bnm,bmc->bnc", onehot, g_eff,
                       preferred_element_type=jnp.float32, precision=_HI)
     ties_pp = jnp.round(jnp.einsum("bnm,bmc->bnc", onehot, ties,
-                                   preferred_element_type=jnp.float32,
-                                   precision=_HI))
+                                   preferred_element_type=jnp.float32))
     grad = eq * g_pp / jnp.maximum(ties_pp, 1.0)
     # empty segments forwarded data[:, 0, :]: gradient to point 0
     g_empty = jnp.sum(jnp.where(empty, g, 0.0), axis=1)     # (B, C)

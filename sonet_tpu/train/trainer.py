@@ -66,7 +66,7 @@ def _metric_key(cfg: Config) -> tuple[str, bool]:
 class Trainer:
     def __init__(self, cfg: Config, *, log_every: int = 200,
                  out_dir: Optional[str] = None, quiet: bool = False,
-                 mesh=None):
+                 mesh=None, resume: bool = True):
         from ..data.pipeline import BatchLoader
 
         self.cfg = cfg
@@ -95,6 +95,13 @@ class Trainer:
                                 example, steps_per_epoch=self.steps_per_epoch)
         if cfg.pretrain:
             self.state = checkpoints.restore_encoder(cfg.pretrain, self.state)
+        # auto-resume from the latest full checkpoint (SURVEY.md §5:
+        # the reference loses progress on crash; orbax restore covers it)
+        latest = checkpoints.latest_checkpoint(
+            os.path.join(self.out_dir, "ckpt"))
+        if resume and latest:
+            self.state = checkpoints.restore_checkpoint(latest, self.state)
+            print(f"resumed from {latest} at step {int(self.state.step)}")
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
         self.train_step, self.eval_step = make_steps(self.model, cfg,

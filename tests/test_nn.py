@@ -279,3 +279,38 @@ class TestTransformer:
         RtR = np.asarray(jnp.einsum("bij,bik->bjk", R, R))
         np.testing.assert_allclose(RtR, np.tile(np.eye(3), (4, 1, 1)),
                                    atol=1e-4)
+
+
+class TestVariants:
+    def test_activations(self):
+        x = jnp.asarray([-1.0, 0.0, 2.0])
+        fns = {n: snn.activation_fn(n)
+               for n in ("relu", "elu", "swish", "leakyrelu")}
+        np.testing.assert_allclose(np.asarray(fns["relu"](x)), [0, 0, 2])
+        np.testing.assert_allclose(np.asarray(fns["elu"](x)),
+                                   [np.expm1(-1), 0, 2], rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(fns["swish"](x)),
+            np.asarray(x) / (1 + np.exp(-np.asarray(x))), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(fns["leakyrelu"](x)),
+                                   [-0.1, 0, 2], rtol=1e-5)
+
+    def test_instance_norm_layer(self):
+        m = snn.PointLayer(8, activation=None, normalization="instance")
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 4) * 3 + 5,
+                        jnp.float32)
+        vs = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(vs, x)
+        # per-sample, per-channel normalized (scale 1, bias 0 at init)
+        np.testing.assert_allclose(np.asarray(jnp.mean(y, axis=1)),
+                                   np.zeros((2, 8)), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(jnp.std(y, axis=1)),
+                                   np.ones((2, 8)), atol=1e-3)
+
+    def test_encoder_with_elu_instance(self):
+        cfg = tiny().replace(activation="elu", normalization="instance")
+        enc = snn.Encoder(cfg)
+        pc, sn, node = make_inputs(cfg)
+        vs = enc.init(jax.random.PRNGKey(0), pc, sn, node, train=False)
+        out = enc.apply(vs, pc, sn, node, train=False)
+        assert np.isfinite(np.asarray(out.feature)).all()
