@@ -69,7 +69,9 @@ class SyntheticDataset:
         for i in range(size):
             cls = i % cfg.classes
             pc, sn = _shape_cloud(cls, n, rng)
-            scale = 0.7 + 0.1 * (cls % 4)
+            # class = (shape family) x (scale): families repeat mod 4, the
+            # scale distinguishes cls and cls+4
+            scale = 0.75 + 0.25 * (cls // 4)
             self.pc[i] = pc * scale
             self.sn[i] = sn
             if cfg.task == "segment":

@@ -36,7 +36,11 @@ def build_dataset(cfg: Config, mode: str):
     """Dataset factory keyed on cfg.dataset."""
     if cfg.dataset == "synthetic":
         from ..data.synthetic import SyntheticDataset
-        return SyntheticDataset(cfg, size=max(cfg.batch_size * 8, 32),
+        mult = 16 if mode == "train" else 4
+        return SyntheticDataset(cfg,
+                                size=max(cfg.batch_size * mult,
+                                         cfg.classes * (4 if mode != "train"
+                                                        else 8)),
                                 mode=mode, seed=cfg.seed)
     if cfg.dataset == "modelnet":
         from ..data.modelnet import ModelNetDataset
