@@ -68,6 +68,7 @@ class Config:
 
     # ---- TPU-specific (new; no reference equivalent) ----------------------
     compute_dtype: str = "float32"  # float32 | bfloat16 for activations
+    remat: bool = False  # rematerialize the per-point stacks (memory vs FLOPs)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, points) mesh
     mesh_axes: Tuple[str, ...] = ("data", "points")
     checkpoint_every: int = 0  # steps; 0 = per-epoch gated like the reference

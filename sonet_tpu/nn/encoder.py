@@ -98,10 +98,18 @@ class Encoder(nn.Module):
             first_in = jnp.concatenate([x_decentered, sn_stack], axis=-1)
         else:
             first_in = x_decentered
-        first_pn_out = PointResNet(
+        first_mod = PointResNet(
             (64, 128, 256, 384), activation=cfg.activation,
-            normalization=cfg.normalization, **bn_kw, name="first_pointnet")(
-            first_in, train=train, epoch=epoch)
+            normalization=cfg.normalization, **bn_kw, name="first_pointnet")
+        if cfg.remat:
+            # rematerialize the (B, kN, 64..384) stack — the memory hot
+            # spot (SURVEY.md §5); trade FLOPs for HBM.  `train` stays
+            # static by closure.
+            first_pn_out = nn.remat(
+                lambda mdl, x: mdl(x, train=train, epoch=epoch))(
+                first_mod, first_in)
+        else:
+            first_pn_out = first_mod(first_in, train=train, epoch=epoch)
 
         # -- node pooling: the index_max kernel (networks.py:181-185) -----
         pooled = segment_max(first_pn_out, min_idx, M)  # (B, M, 384)

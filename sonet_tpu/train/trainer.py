@@ -120,30 +120,55 @@ class Trainer:
             return shard_batch(b, self.mesh)
         return {k: jnp.asarray(v) for k, v in b.items()}
 
+    def _prefetch(self, loader, depth: int = 2):
+        """Host->device transfer on a background thread, `depth` batches
+        ahead, so augmentation/IO overlaps device compute (the reference
+        relied on DataLoader workers for this, modelnet/train.py:25)."""
+        import queue as _queue
+        import threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+
+        def produce():
+            for batch in loader:
+                valid = int(batch.pop("valid", self.cfg.batch_size))
+                q.put((self._device_batch(batch), valid))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         timer = StepTimer()
         last = {}
-        for i, batch in enumerate(self.train_loader):
-            valid = int(batch.pop("valid", self.cfg.batch_size))
-            db = self._device_batch(batch)
+        for i, (db, valid) in enumerate(self._prefetch(self.train_loader)):
             with timer:
                 self.state, metrics = self.train_step(self.state, db,
                                                       self.rng)
-                jax.block_until_ready(metrics["loss"])
             if i % self.log_every == 0:
-                last = {k: float(v) for k, v in metrics.items()}
+                last = {k: float(v) for k, v in metrics.items()}  # syncs
                 self.logger.log(int(self.state.step), last, epoch=epoch,
                                 prefix="train_")
+        # honest wall-clock: force completion before reading the timer
+        last = {k: float(v) for k, v in metrics.items()}
         last["sec_per_step"] = timer.mean
         return last
 
-    def evaluate(self) -> Dict[str, float]:
+    def evaluate(self, visualize: bool = False) -> Dict[str, float]:
         """Batch-size-weighted eval (modelnet/train.py:78-90)."""
         sums: Dict[str, float] = {}
         count = 0
-        for batch in self.test_loader:
-            valid = int(batch.pop("valid", self.cfg.batch_size))
-            m = self.eval_step(self.state, self._device_batch(batch))
+        first = True
+        for db, valid in self._prefetch(self.test_loader):
+            m = self.eval_step(self.state, db)
+            if visualize and first:
+                self._save_visuals(db, m)
+                first = False
             count += valid
             for k in list(m.keys()):
                 if k.endswith("_i"):
@@ -154,6 +179,32 @@ class Trainer:
                         name = "seg_accuracy"
                     sums[name] = sums.get(name, 0.0) + float(arr.sum())
         return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def _save_visuals(self, batch, metrics) -> None:
+        """Eval-time renders (the reference's per-epoch visdom displays:
+        AE reconstructions autoencoder/train.py:75-76, seg colorings
+        segmenter.py:135-155)."""
+        from ..utils.visualize import (HTMLGallery, save_point_cloud_png,
+                                       save_seg_comparison)
+        out = os.path.join(self.out_dir, "visuals")
+        gallery = HTMLGallery(out)
+        step = int(self.state.step)
+        paths = []
+        if self.cfg.task == "autoencode" and "predicted_pc" in metrics:
+            paths.append(save_point_cloud_png(
+                os.path.join(out, f"step{step}_input.png"),
+                np.asarray(batch["pc"][0]), title="input"))
+            paths.append(save_point_cloud_png(
+                os.path.join(out, f"step{step}_recon.png"),
+                np.asarray(metrics["predicted_pc"][0]), title="recon"))
+        elif self.cfg.task == "segment" and "score" in metrics:
+            pred = np.asarray(jnp.argmax(metrics["score"][0], -1))
+            paths += save_seg_comparison(
+                out, f"step{step}", np.asarray(batch["pc"][0]), pred,
+                np.asarray(batch["seg"][0]), dataroot=self.cfg.dataroot)
+        if paths:
+            gallery.add_row(f"step {step}", paths)
+            gallery.save()
 
     def maybe_checkpoint(self, epoch: int, test_metrics: Dict[str, float],
                          threshold: Optional[float] = None) -> Optional[str]:
@@ -175,12 +226,14 @@ class Trainer:
         return None
 
     def fit(self, epochs: Optional[int] = None,
-            save_threshold: Optional[float] = None) -> Dict[str, float]:
+            save_threshold: Optional[float] = None,
+            visualize_every: int = 0) -> Dict[str, float]:
         epochs = epochs if epochs is not None else self.cfg.epochs
         test_metrics: Dict[str, float] = {}
         for epoch in range(epochs):
             tr = self.train_epoch(epoch)
-            test_metrics = self.evaluate()
+            viz = visualize_every > 0 and epoch % visualize_every == 0
+            test_metrics = self.evaluate(visualize=viz)
             self.logger.log(int(self.state.step), test_metrics, epoch=epoch,
                             prefix="test_")
             self.maybe_checkpoint(epoch, test_metrics,

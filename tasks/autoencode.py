@@ -18,7 +18,7 @@ def main(argv=None):
     trainer = Trainer(cfg)
     # the reference saves every epoch (autoencoder/train.py:106-109);
     # threshold None = save on every improvement
-    final = trainer.fit(save_threshold=None)
+    final = trainer.fit(save_threshold=None, visualize_every=5)
     print({"final": final, "best": trainer.best_metric})
     return final
 

@@ -17,7 +17,7 @@ def main(argv=None):
     cfg = parse_args(argv, preset="shapenetpart")
     trainer = Trainer(cfg)
     # mIoU save threshold (part-seg/train.py:110)
-    final = trainer.fit(save_threshold=0.835)
+    final = trainer.fit(save_threshold=0.835, visualize_every=5)
     print({"final": final, "best": trainer.best_metric})
     return final
 
