@@ -371,3 +371,60 @@ class TestSegmenterParity:
         np.testing.assert_allclose(np.asarray(score),
                                    t_score.detach().numpy().transpose(0, 2, 1),
                                    rtol=RTOL, atol=ATOL)
+
+
+class TestGradientParity:
+    def test_encoder_classifier_grad_parity(self, ref):
+        """Backward parity: d(loss)/d(weights) matches torch autograd
+        through the full encoder+classifier (gather-based pooling path)."""
+        from sonet_tpu import native
+        if not native.available():
+            pytest.skip("g++ unavailable")
+        cfg = _cfg()
+        opt = VirtualOpt(cfg)
+        tenc = ref.Encoder(opt)
+        tcls = ref.Classifier(opt)
+        _randomize_torch(tenc, 10)
+        _randomize_torch(tcls, 11)
+        tenc.eval()
+        tcls.eval()
+        pc, sn, node = _inputs(cfg, seed=12)
+        from sonet_tpu.ops import knn
+        knn_I = np.asarray(knn(jnp.asarray(node), cfg.som_k))
+        target = np.random.RandomState(13).randn(
+            cfg.batch_size, cfg.classes).astype(np.float32)
+
+        # torch backward
+        t_feat = tenc(torch.from_numpy(pc.transpose(0, 2, 1)),
+                      torch.from_numpy(sn.transpose(0, 2, 1)),
+                      torch.from_numpy(node.transpose(0, 2, 1)),
+                      torch.from_numpy(knn_I.astype(np.int64)))
+        t_loss = (tcls(t_feat) * torch.from_numpy(target)).sum()
+        t_loss.backward()
+        t_grad_w = tenc.first_pointnet.layers[0].conv.weight.grad
+        t_grad_fc = tcls.fc1.linear.weight.grad
+
+        # jax backward with transplanted weights
+        enc = snn.Encoder(cfg)
+        head = snn.ClassifierHead(cfg)
+        eparams, estats = _encoder_transplant(tenc, cfg)
+        cparams, cstats = _classifier_transplant(tcls)
+
+        def loss_fn(eparams, cparams):
+            out = enc.apply({"params": eparams, "batch_stats": estats},
+                            jnp.asarray(pc), jnp.asarray(sn),
+                            jnp.asarray(node), jnp.asarray(knn_I),
+                            train=False)
+            score = head.apply({"params": cparams, "batch_stats": cstats},
+                               out.feature, train=False)
+            return jnp.sum(score * jnp.asarray(target))
+
+        ge, gc = jax.grad(loss_fn, argnums=(0, 1))(eparams, cparams)
+        g_w = np.asarray(
+            ge["first_pointnet"]["PointLayer_0"]["Dense_0"]["kernel"])
+        g_fc = np.asarray(gc["fc1"]["Dense_0"]["kernel"])
+        # torch conv weight (Cout, Cin, 1) vs dense kernel (Cin, Cout)
+        np.testing.assert_allclose(
+            g_w, t_grad_w.detach().numpy()[:, :, 0].T, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(
+            g_fc, t_grad_fc.detach().numpy().T, rtol=2e-3, atol=2e-4)
