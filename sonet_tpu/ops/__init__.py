@@ -14,6 +14,7 @@ from .segment import (
     segment_sum_onehot,
     segment_mean_onehot,
 )
+from .segment_sorted import segment_max_sorted, sort_by_segment
 from .gather import knn_gather, gather_by_segment
 from .chamfer import chamfer, robust_norm, ChamferResult
 from .iou import compute_iou, iou_per_shape, PART_LABEL, PART_TABLE
@@ -22,6 +23,7 @@ __all__ = [
     "pairwise_sqdist", "knn", "assign_topk", "one_hot_f32", "TopKAssign",
     "segment_max", "segment_max_onehot", "segment_max_scatter",
     "segment_counts", "segment_sum_onehot", "segment_mean_onehot",
+    "segment_max_sorted", "sort_by_segment",
     "knn_gather", "gather_by_segment",
     "chamfer", "robust_norm", "ChamferResult",
     "compute_iou", "iou_per_shape", "PART_LABEL", "PART_TABLE",
