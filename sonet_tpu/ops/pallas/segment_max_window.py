@@ -25,8 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -3.0e38
 
 
-def _make_kernel(num_segments: int, window: int):
+def _make_kernel(num_segments: int, window: int, dtype):
     M, W = num_segments, window
+    # python float literal: weak-typed, follows data dtype (bf16 range
+    # covers -3e38); a jnp constant would be captured as a traced const
+    neg = _NEG
 
     def kernel(idx_ref, data_ref, val_ref):
         n = pl.program_id(2)
@@ -36,20 +39,24 @@ def _make_kernel(num_segments: int, window: int):
             val_ref[...] = jnp.full_like(val_ref, _NEG)
 
         ids = idx_ref[0]            # (Nc, 1) int32
-        data = data_ref[0]          # (Nc, Cb)
+        data = data_ref[0]          # (Nc, Cb) dtype
         lo = jnp.minimum(jnp.min(ids), M - 1)
         hi = jnp.minimum(jnp.max(ids), M - 1)
-        n_win = (hi - lo) // W + 1
+        # W-grid-aligned windows: `base` is provably a multiple of W, so
+        # the dynamic-slice write satisfies the sublane alignment rule
+        # (bf16 needs 16-row tiles)
+        w0 = lo // W
+        n_win = hi // W - w0 + 1
 
         w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)  # (1, W)
 
-        def body(w, _):
-            base = jnp.minimum(lo + w * W, M - W)   # clamped window start
+        def body(i, _):
+            base = pl.multiple_of((w0 + i) * W, W)
             # f32 mask: Mosaic only supports minor-dim insertion on
             # 32-bit types (i1 [:, :, None] fails to compile)
             ohf = ((ids - base) == w_iota).astype(jnp.float32)  # (Nc, W)
             masked = jnp.where(ohf[:, :, None] > 0.0,
-                               data[:, None, :], _NEG)
+                               data[:, None, :], neg)
             wmax = jnp.max(masked, axis=0)           # (W, Cb)
             prev = val_ref[0, pl.ds(base, W), :]
             val_ref[0, pl.ds(base, W), :] = jnp.maximum(prev, wmax)
@@ -75,24 +82,36 @@ def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
     M = num_segments
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    window = min(window, M)
+    # sublane alignment: window rows must be a tile multiple
+    min_w = 16 if data.dtype == jnp.bfloat16 else 8
+    window = max(min(window, M), min(min_w, M))
+    if not interpret:
+        window = max(window, min_w)
     block_n = min(block_n, N)
     block_c = min(block_c, max(C, 1))
+    M_pad = -(-M // window) * window
 
-    orig_dtype = data.dtype
-    data32 = jax.lax.stop_gradient(data).astype(jnp.float32)
+    # dtype handling: f32 compiles on current Mosaic; bf16 in-kernel
+    # masked ops hit relayout limitations ("non-singleton logical
+    # dimension is replicated..."), so bf16 inputs are upcast for the
+    # kernel pass (DMA still halved at the jnp.pad boundary is not —
+    # revisit when Mosaic supports bf16 minor-dim broadcasts)
+    dtype = jnp.float32 if (not interpret or data.dtype
+                            not in (jnp.float32, jnp.bfloat16)) \
+        else data.dtype
+    dat = jax.lax.stop_gradient(data).astype(dtype)
     ids = jax.lax.stop_gradient(seg_ids).astype(jnp.int32)
     n_pad = (-N) % block_n
     c_pad = (-C) % block_c
     if n_pad:
-        data32 = jnp.pad(data32, ((0, 0), (0, n_pad), (0, 0)))
+        dat = jnp.pad(dat, ((0, 0), (0, n_pad), (0, 0)))
         ids = jnp.pad(ids, ((0, 0), (0, n_pad)), constant_values=M)
     if c_pad:
-        data32 = jnp.pad(data32, ((0, 0), (0, 0), (0, c_pad)))
-    Np, Cp = data32.shape[1], data32.shape[2]
+        dat = jnp.pad(dat, ((0, 0), (0, 0), (0, c_pad)))
+    Np, Cp = dat.shape[1], dat.shape[2]
 
     vals = pl.pallas_call(
-        _make_kernel(M, window),
+        _make_kernel(M_pad, window, dtype),
         grid=(B, Cp // block_c, Np // block_n),
         in_specs=[
             pl.BlockSpec((1, block_n, 1), lambda b, c, n: (b, n, 0),
@@ -100,14 +119,15 @@ def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
             pl.BlockSpec((1, block_n, block_c), lambda b, c, n: (b, n, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M, block_c), lambda b, c, n: (b, 0, c),
+        out_specs=pl.BlockSpec((1, M_pad, block_c),
+                               lambda b, c, n: (b, 0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M, Cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, M_pad, Cp), dtype),
         interpret=interpret,
-    )(ids[..., None], data32)[:, :, :C]
+    )(ids[..., None], dat)[:, :M, :C]
 
     # empty segments: -inf -> feature of point 0 (networks.py:185 parity)
     counts = jnp.sum(jax.nn.one_hot(seg_ids, M, dtype=jnp.float32), axis=1)
     empty = (counts == 0)[..., None]
-    vals = jnp.where(empty, data32[:, 0:1, :C], vals)
-    return vals.astype(orig_dtype)
+    vals = jnp.where(empty, dat[:, 0:1, :C], vals)
+    return vals.astype(data.dtype)
