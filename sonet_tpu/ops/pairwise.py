@@ -86,11 +86,10 @@ def assign_topk(x: jax.Array, nodes: jax.Array, k: int) -> TopKAssign:
     # stack k-major: (B, k, N) -> (B, kN)
     min_idx = jnp.transpose(idx, (0, 2, 1)).reshape(B, k * N).astype(jnp.int32)
     sq = jnp.transpose(-neg_top, (0, 2, 1)).reshape(B, k * N)
-    # node occupancy: does any of the kN stacked points map to node m?
-    occupancy = jnp.zeros((B, M), jnp.int32).at[
-        jnp.arange(B)[:, None], min_idx].max(1)
-    return TopKAssign(min_idx=min_idx, mask_row_max=occupancy.astype(bool),
-                      sqdist=sq)
+    # node occupancy via one-hot reduce (scatter is slow on TPU; callers
+    # that build the one-hot anyway get this CSE'd for free)
+    counts = jnp.sum(jax.nn.one_hot(min_idx, M, dtype=jnp.float32), axis=1)
+    return TopKAssign(min_idx=min_idx, mask_row_max=counts > 0, sqdist=sq)
 
 
 def one_hot_f32(idx: jax.Array, num: int) -> jax.Array:

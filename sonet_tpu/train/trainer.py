@@ -16,7 +16,6 @@ autoencoder/train.py).  Parity points:
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict, Optional
 
 import jax
