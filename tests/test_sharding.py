@@ -87,3 +87,17 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
+
+
+class TestTrainerWithMesh:
+    def test_trainer_runs_on_mesh(self, tmp_path):
+        cfg = cfg_mod.tiny_test().replace(
+            batch_size=8, input_pc_num=64, epochs=1,
+            checkpoints_dir=str(tmp_path), name="mesh_t")
+        mesh = make_mesh((4, 2))
+        from sonet_tpu.train.trainer import Trainer
+        trainer = Trainer(cfg, quiet=True, mesh=mesh, resume=False)
+        metrics = trainer.fit(epochs=1)
+        assert np.isfinite(metrics["loss"])
+        leaf = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        assert leaf.sharding.is_fully_replicated
