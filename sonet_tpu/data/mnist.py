@@ -29,6 +29,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from ..config import Config
+from .seeding import EpochSeeded
 
 
 def _load_idx(path: str) -> np.ndarray:
@@ -72,7 +73,7 @@ def image_to_points(img: np.ndarray, n: int, rng: np.random.Generator,
     return pts.astype(np.float32)
 
 
-class MNISTPointCloudDataset:
+class MNISTPointCloudDataset(EpochSeeded):
     def __init__(self, root: str, mode: str, cfg: Config,
                  limit: int | None = None):
         self.cfg = cfg
@@ -97,7 +98,7 @@ class MNISTPointCloudDataset:
             nodes.append(np.asarray(
                 som_fit(jnp.asarray(pts[i:i + chunk]), som_cfg)))
         self.som_node = np.concatenate(nodes, 0).astype(np.float32)
-        self._rng = np.random.default_rng(cfg.seed + 1)
+        self._init_seeding(cfg.seed, mode)
 
     def __len__(self):
         return len(self.points)
@@ -106,11 +107,12 @@ class MNISTPointCloudDataset:
         pc = self.points[idx]
         node = self.som_node[idx]
         if self.mode == "train":
+            rng = self.item_rng(idx)
             # light jitter + scale augmentation (2D analogue of the
             # loaders' stack; no rotations — digits are orientation-bound)
             pc = pc + np.clip(
-                0.01 * self._rng.standard_normal(pc.shape), -0.05, 0.05)
-            scale = self._rng.uniform(0.9, 1.1)
+                0.01 * rng.standard_normal(pc.shape), -0.05, 0.05)
+            scale = rng.uniform(0.9, 1.1)
             pc, node = pc * scale, node * scale
         return {"pc": pc.astype(np.float32),
                 "node": node.astype(np.float32),

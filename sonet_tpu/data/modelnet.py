@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config import Config
 from . import augmentation as aug
+from .seeding import EpochSeeded
 
 
 def _read_lines(path: str) -> List[str]:
@@ -79,30 +80,31 @@ def make_dataset_shrec2016(root: str, mode: str, cfg: Config):
     return items
 
 
-class ModelNetDataset:
+class ModelNetDataset(EpochSeeded):
     """ModelNet40/10 10k-point .npy layout."""
 
     def __init__(self, root: str, mode: str, cfg: Config):
         self.cfg = cfg
         self.mode = mode
         self.items = make_dataset_modelnet(root, mode, cfg)
-        self._rng = np.random.default_rng(cfg.seed + hash(mode) % 1000)
+        self._init_seeding(cfg.seed, mode)
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
+        rng = self.item_rng(idx)
         pc_path, label, som_path = self.items[idx]
         data = np.load(pc_path)
-        choice = self._rng.choice(data.shape[0], cfg.input_pc_num,
-                                  replace=False)
+        choice = rng.choice(data.shape[0], cfg.input_pc_num,
+                            replace=False)
         data = data[choice]
         pc, sn = data[:, 0:3], data[:, 3:6]
         node = np.load(som_path)
         if self.mode == "train":
             pc, sn, node = aug.train_augment(
-                pc, sn, node, self._rng,
+                pc, sn, node, rng,
                 rot_horizontal=cfg.rot_horizontal,
                 rot_perturbation=cfg.rot_perturbation,
                 translation_perturbation=cfg.translation_perturbation)
@@ -111,7 +113,7 @@ class ModelNetDataset:
                 "label": np.int64(label)}
 
 
-class ShrecDataset:
+class ShrecDataset(EpochSeeded):
     """SHREC2016 npz layout; returns the shape id for retrieval
     (modelnet_shrec_loader.py:268-269)."""
 
@@ -119,22 +121,23 @@ class ShrecDataset:
         self.cfg = cfg
         self.mode = mode
         self.items = make_dataset_shrec2016(root, mode, cfg)
-        self._rng = np.random.default_rng(cfg.seed + hash(mode) % 1000)
+        self._init_seeding(cfg.seed, mode)
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
+        rng = self.item_rng(idx)
         npz_path, label, name = self.items[idx]
         data = np.load(npz_path)
         pc, sn, node = data["pc"], data["sn"], data["som_node"]
-        choice = self._rng.choice(pc.shape[0], cfg.input_pc_num,
-                                  replace=False)
+        choice = rng.choice(pc.shape[0], cfg.input_pc_num,
+                            replace=False)
         pc, sn = pc[choice], sn[choice]
         if self.mode == "train":
             pc, sn, node = aug.train_augment(
-                pc, sn, node, self._rng,
+                pc, sn, node, rng,
                 rot_horizontal=cfg.rot_horizontal,
                 rot_perturbation=cfg.rot_perturbation,
                 translation_perturbation=cfg.translation_perturbation)

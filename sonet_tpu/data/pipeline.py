@@ -7,6 +7,11 @@ thread pool so augmentation overlaps device compute.  Unlike the
 reference there is no per-item Faiss call to hide — SOM-node kNN happens
 on device inside the encoder — so the host work is only file reads +
 augmentation.
+
+Reproducibility: datasets that implement ``set_epoch(epoch)`` are
+re-seeded per epoch by the loader, so per-item augmentation draws are a
+pure function of (seed, epoch, index) and independent of worker-thread
+scheduling.
 """
 
 from __future__ import annotations
@@ -14,7 +19,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable, Dict, Iterator, Optional, Protocol, Sequence
+from typing import Any, Dict, Iterator, Protocol, Sequence
 
 import numpy as np
 
@@ -32,11 +37,15 @@ def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class BatchLoader:
-    """Shuffling, drop-last batch iterator with threaded prefetch.
+    """Shuffling, drop-last batch iterator with bounded threaded prefetch.
 
-    ``pad_last=True`` instead repeats items to fill the final batch and
-    reports ``batch["valid"]`` counts so eval loops can weight correctly
-    (the reference weights test metrics by true batch size,
+    At most ``prefetch + num_threads`` batches are in flight at any time
+    (a sliding window of futures), so memory stays bounded and an
+    abandoned iterator shuts the producer down promptly.
+
+    ``pad_last=True`` repeats items to fill the final batch and reports
+    ``batch["valid"]`` counts so eval loops can weight correctly (the
+    reference weights test metrics by true batch size,
     modelnet/train.py:78-90).
     """
 
@@ -52,6 +61,7 @@ class BatchLoader:
         self.rng = np.random.default_rng(seed)
         self.num_threads = num_threads
         self.prefetch = prefetch
+        self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -65,7 +75,7 @@ class BatchLoader:
             self.rng.shuffle(idx)
         bs = self.batch_size
         nfull = len(idx) // bs
-        batches = [idx[i * bs:(i + 1) * bs] for i in range(nfull)]
+        batches = [(idx[i * bs:(i + 1) * bs], bs) for i in range(nfull)]
         rem = idx[nfull * bs:]
         if len(rem) and not self.drop_last:
             valid = len(rem)
@@ -73,10 +83,14 @@ class BatchLoader:
                 fill = idx[: bs - valid]
                 rem = np.concatenate([rem, fill])
             batches.append((rem, valid))
-        return [(b, self.batch_size) if not isinstance(b, tuple) else b
-                for b in batches]
+        return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # per-epoch deterministic re-seed for datasets that support it
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
+
         batches = self._index_batches()
         if self.num_threads <= 1:
             for b, valid in batches:
@@ -85,26 +99,56 @@ class BatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        SENTINEL = object()
 
         def produce():
+            # sliding window: at most (prefetch + num_threads) batches in
+            # flight; a stopped consumer is noticed within the timeout
             with ThreadPoolExecutor(self.num_threads) as ex:
-                futs = [ex.submit(self._make, b, v) for b, v in batches]
-                for f in futs:
-                    if stop.is_set():
-                        return
-                    q.put(f.result())
-            q.put(None)
+                window = []
+                it = iter(batches)
+                try:
+                    while not stop.is_set():
+                        while len(window) < self.num_threads + self.prefetch:
+                            nxt = next(it, None)
+                            if nxt is None:
+                                break
+                            window.append(ex.submit(self._make, *nxt))
+                        if not window:
+                            break
+                        result = window.pop(0).result()
+                        while not stop.is_set():
+                            try:
+                                q.put(result, timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                finally:
+                    for f in window:
+                        f.cancel()
+                    try:
+                        q.put_nowait(SENTINEL)
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+        produced = 0
         try:
-            while True:
+            while produced < len(batches):
                 item = q.get()
-                if item is None:
+                if item is SENTINEL:
                     break
+                produced += 1
                 yield item
         finally:
             stop.set()
+            # drain so a blocked producer can observe `stop`
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def _make(self, indices, valid) -> Dict[str, np.ndarray]:
         batch = collate([self.dataset[int(i)] for i in indices])

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..config import Config
 from . import augmentation as aug
+from .seeding import EpochSeeded
 
 CATEGORIES = ["Airplane", "Bag", "Cap", "Car", "Chair", "Earphone",
               "Guitar", "Knife", "Lamp", "Laptop", "Motorbike", "Mug",
@@ -43,7 +44,7 @@ def make_dataset_shapenet(root: str, mode: str):
         return json.load(f)
 
 
-class ShapeNetPartDataset:
+class ShapeNetPartDataset(EpochSeeded):
     def __init__(self, root: str, mode: str, cfg: Config):
         self.cfg = cfg
         self.root = root
@@ -51,13 +52,14 @@ class ShapeNetPartDataset:
         self.items = make_dataset_shapenet(root, mode)
         if len(self.items) % cfg.batch_size == 1:  # shapenet_loader.py:113
             self.items.pop()
-        self._rng = np.random.default_rng(cfg.seed + hash(mode) % 1000)
+        self._init_seeding(cfg.seed, mode)
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
+        rng = self.item_rng(idx)
         # entries look like 'shape_data/02691156/xxxx' -> strip prefix
         file = self.items[idx][11:]
         rows = cfg.rows
@@ -70,21 +72,19 @@ class ShapeNetPartDataset:
 
         n = cfg.input_pc_num
         if n < pc.shape[0]:
-            choice = self._rng.choice(pc.shape[0], n, replace=False)
+            choice = rng.choice(pc.shape[0], n, replace=False)
             pc, sn, seg = pc[choice], sn[choice], seg[choice]
         else:
-            extra = self._rng.choice(pc.shape[0], n - pc.shape[0],
-                                     replace=True)
+            extra = rng.choice(pc.shape[0], n - pc.shape[0], replace=True)
             pc = np.concatenate([pc, pc[extra]], 0)
             sn = np.concatenate([sn, sn[extra]], 0)
             seg = np.concatenate([seg, seg[extra]], 0)
 
         if self.mode == "train":  # jitter + scale only (:156-175)
-            pc = aug.jitter_point_cloud(pc, self._rng)
-            sn = aug.jitter_point_cloud(sn, self._rng)
-            node = aug.jitter_point_cloud(node, self._rng, sigma=0.04,
-                                          clip=0.1)
-            scale = self._rng.uniform(0.8, 1.2)
+            pc = aug.jitter_point_cloud(pc, rng)
+            sn = aug.jitter_point_cloud(sn, rng)
+            node = aug.jitter_point_cloud(node, rng, sigma=0.04, clip=0.1)
+            scale = rng.uniform(0.8, 1.2)
             pc, sn, node = pc * scale, sn * scale, node * scale
 
         return {"pc": pc.astype(np.float32), "sn": sn.astype(np.float32),

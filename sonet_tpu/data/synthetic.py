@@ -16,6 +16,7 @@ import numpy as np
 from ..config import Config
 from ..som import SOMConfig, fit as som_fit
 from . import augmentation as aug
+from .seeding import EpochSeeded
 
 
 def _unit(v, axis=-1):
@@ -53,13 +54,14 @@ def _shape_cloud(cls: int, n: int, rng: np.random.Generator):
     return p, sn
 
 
-class SyntheticDataset:
+class SyntheticDataset(EpochSeeded):
     """In-memory synthetic dataset with precomputed SOM nodes."""
 
     def __init__(self, cfg: Config, size: int = 64, mode: str = "train",
                  seed: int = 0):
         self.cfg = cfg
         self.mode = mode
+        self._init_seeding(seed, mode)
         rng = np.random.default_rng(seed + (0 if mode == "train" else 10_000))
         n, M = cfg.input_pc_num, cfg.node_num
         self.pc = np.zeros((size, n, 3), np.float32)
@@ -93,7 +95,6 @@ class SyntheticDataset:
                             schedule="prep")
         nodes = som_fit(jnp.asarray(self.pc), som_cfg)
         self.som_node = np.asarray(nodes, np.float32)
-        self._aug_rng = np.random.default_rng(seed + 777)
 
     def __len__(self):
         return len(self.pc)
@@ -103,7 +104,7 @@ class SyntheticDataset:
         pc, sn, node = self.pc[idx], self.sn[idx], self.som_node[idx]
         if self.mode == "train":
             pc, sn, node = aug.train_augment(
-                pc, sn, node, self._aug_rng,
+                pc, sn, node, self.item_rng(idx),
                 rot_horizontal=cfg.rot_horizontal,
                 rot_perturbation=cfg.rot_perturbation,
                 translation_perturbation=cfg.translation_perturbation)

@@ -29,8 +29,12 @@ def random_point_dropout(pc: jax.Array, sn: jax.Array | None, rng: jax.Array,
     """Fixed-shape version of the reference's random point dropout
     (classifier.py:79-86).  The reference subsamples to a variable count;
     under jit shapes must be static, so dropped slots are refilled with
-    duplicates of kept points (equivalent under the per-node max/mean
-    aggregation; deviation documented in SURVEY.md §7 'variable shapes')."""
+    duplicates of kept points.  DEVIATION (documented in PARITY.md):
+    duplicates are exact no-ops for the per-node max pooling but are
+    double-counted in the cluster-mean recentering and in BatchNorm batch
+    statistics — a mild augmentation-noise difference vs true removal.
+    Default off (random_pc_dropout_lower_limit=1.0), matching every
+    reference task config."""
     if lower_limit >= 0.99:
         return pc, sn
     B, N, _ = pc.shape

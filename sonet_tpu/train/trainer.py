@@ -144,15 +144,17 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         timer = StepTimer()
-        last = {}
+        metrics = None
         for i, (db, valid) in enumerate(self._prefetch(self.train_loader)):
             with timer:
                 self.state, metrics = self.train_step(self.state, db,
                                                       self.rng)
             if i % self.log_every == 0:
-                last = {k: float(v) for k, v in metrics.items()}  # syncs
-                self.logger.log(int(self.state.step), last, epoch=epoch,
-                                prefix="train_")
+                self.logger.log(int(self.state.step),
+                                {k: float(v) for k, v in metrics.items()},
+                                epoch=epoch, prefix="train_")
+        if metrics is None:  # dataset smaller than one batch
+            return {"sec_per_step": 0.0}
         # honest wall-clock: force completion before reading the timer
         last = {k: float(v) for k, v in metrics.items()}
         last["sec_per_step"] = timer.mean

@@ -26,13 +26,12 @@ class MetricLogger:
                  quiet: bool = False):
         self.quiet = quiet
         self.jsonl = None
-        self.csv_path = None
-        self._csv_keys = None
+        self.out_dir = out_dir
+        self.name = name
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             self.jsonl = open(os.path.join(out_dir, f"{name}_metrics.jsonl"),
                               "a", buffering=1)
-            self.csv_path = os.path.join(out_dir, f"{name}_metrics.csv")
         self._t0 = time.time()
 
     def log(self, step: int, metrics: Dict[str, float], *, epoch=None,
@@ -51,11 +50,17 @@ class MetricLogger:
             print("  ".join(parts), flush=True)
         if self.jsonl:
             self.jsonl.write(json.dumps(rec) + "\n")
-        if self.csv_path:
-            exists = os.path.exists(self.csv_path)
-            keys = list(rec.keys())
-            with open(self.csv_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+        if self.out_dir:
+            # one CSV per metric family (prefix): train_ and test_ rows
+            # have different key sets, so sharing a file would misalign
+            # columns against the single header
+            fam = prefix.rstrip("_") or "misc"
+            path = os.path.join(self.out_dir,
+                                f"{self.name}_{fam}_metrics.csv")
+            exists = os.path.exists(path)
+            with open(path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(rec.keys()),
+                                   extrasaction="ignore")
                 if not exists:
                     w.writeheader()
                 w.writerow(rec)

@@ -249,3 +249,47 @@ class TestAugmentation:
         assert len(batches) == 3
         assert batches[-1]["x"].shape == (4, 2)
         assert int(batches[-1]["valid"]) == 2
+
+
+class TestReproducibility:
+    def test_per_item_seeding_stable_and_epoch_varied(self):
+        cfg = tiny()
+        from sonet_tpu.data.synthetic import SyntheticDataset
+        ds = SyntheticDataset(cfg, size=8, mode="train", seed=3)
+        ds.set_epoch(0)
+        a = ds[2]["pc"]
+        b = ds[2]["pc"]
+        np.testing.assert_array_equal(a, b)  # same epoch: deterministic
+        ds.set_epoch(1)
+        c = ds[2]["pc"]
+        assert not np.allclose(a, c)  # new epoch: fresh augmentation
+        # independent instance reproduces exactly (no salted hash/global RNG)
+        ds2 = SyntheticDataset(cfg, size=8, mode="train", seed=3)
+        ds2.set_epoch(0)
+        np.testing.assert_array_equal(a, ds2[2]["pc"])
+
+    def test_loader_reseeds_per_epoch(self):
+        cfg = tiny()
+        from sonet_tpu.data.synthetic import SyntheticDataset
+        ds = SyntheticDataset(cfg, size=8, mode="train", seed=4)
+        loader = BatchLoader(ds, 4, shuffle=False, num_threads=2, seed=0)
+        e0 = [b["pc"].copy() for b in loader]
+        e1 = [b["pc"].copy() for b in loader]
+        assert not np.allclose(e0[0], e1[0])  # epoch advanced
+
+    def test_abandoned_iterator_shuts_down(self):
+        import threading
+        cfg = tiny()
+        from sonet_tpu.data.synthetic import SyntheticDataset
+        ds = SyntheticDataset(cfg, size=32, mode="train", seed=5)
+        loader = BatchLoader(ds, 4, num_threads=2, prefetch=1)
+        before = threading.active_count()
+        for _ in range(3):
+            it = iter(loader)
+            next(it)  # abandon after one batch (Trainer.__init__ pattern)
+            it.close()
+        import time
+        time.sleep(1.5)
+        assert threading.active_count() <= before + 2
+        # loader still fully usable afterwards
+        assert len(list(loader)) == 8

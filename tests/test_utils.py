@@ -20,7 +20,7 @@ class TestMetricLogger:
         assert len(lines) == 2
         rec = json.loads(lines[0])
         assert rec["train_loss"] == 1.5 and rec["step"] == 1
-        assert (tmp_path / "t_metrics.csv").exists()
+        assert (tmp_path / "t_train_metrics.csv").exists()
 
     def test_step_timer_warmup(self):
         t = StepTimer(warmup=1)
