@@ -73,8 +73,12 @@ class Encoder(nn.Module):
         # -- point -> node top-k assignment (networks.py:127) -------------
         assign = assign_topk(jax.lax.stop_gradient(pc), node, k)
         min_idx = assign.min_idx                       # (B, kN)
-        onehot = one_hot_f32(min_idx, M)               # (B, kN, M)
-        counts = jnp.sum(onehot, axis=1)               # (B, M) mask_row_sum
+        # bf16 one-hot halves the (B, kN, M) mask traffic; entries are
+        # exactly 0/1 so the matmuls stay exact with f32 accumulation
+        oh_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                    else jnp.float32)
+        onehot = jax.nn.one_hot(min_idx, M, dtype=oh_dtype)  # (B, kN, M)
+        counts = jnp.sum(onehot, axis=1, dtype=jnp.float32)  # mask_row_sum
         mask_row_max = assign.mask_row_max             # (B, M)
 
         # -- stack k copies of the cloud (networks.py:131-137) ------------

@@ -76,13 +76,15 @@ def _bwd(num_segments, res, g):
     data, seg_ids, out, counts = res
     M = num_segments
     ids3 = seg_ids[..., None]
-    onehot = jax.nn.one_hot(seg_ids, M, dtype=jnp.float32)  # (B, N, M)
+    bf16 = data.dtype == jnp.bfloat16
+    onehot = jax.nn.one_hot(seg_ids, M,
+                            dtype=jnp.bfloat16 if bf16 else jnp.float32)
     # winner mask: exact value comparison against the segment's max.
     # bf16 data: route via one-hot matmul — exact (one-hot rows have a
     # single 1.0; bf16 values pass through the bf16 MXU unchanged) and
     # ~10x faster than the row gather.  f32 data: gather (matmul at MXU
     # precision would not be bit-exact and would break the equality).
-    if data.dtype == jnp.bfloat16:
+    if bf16:
         out_pp = jnp.einsum("bnm,bmc->bnc", onehot,
                             out.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32
@@ -99,8 +101,10 @@ def _bwd(num_segments, res, g):
     g_eff = jnp.where(empty, 0.0, g)
     # route per-segment values back to points on the MXU (gathers from a
     # (B, M, C) table are ~10x slower than these one-hot matmuls)
-    g_pp = jnp.einsum("bnm,bmc->bnc", onehot, g_eff,
-                      preferred_element_type=jnp.float32, precision=_HI)
+    g_pp = jnp.einsum("bnm,bmc->bnc", onehot,
+                      g_eff.astype(jnp.bfloat16) if bf16 else g_eff,
+                      preferred_element_type=jnp.float32,
+                      precision=None if bf16 else _HI)
     ties_pp = jnp.round(jnp.einsum("bnm,bmc->bnc", onehot, ties,
                                    preferred_element_type=jnp.float32))
     grad = eq * g_pp / jnp.maximum(ties_pp, 1.0)
