@@ -16,6 +16,7 @@ autoencoder/train.py).  Parity points:
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, Optional
 
 import jax
@@ -25,7 +26,7 @@ import numpy as np
 from ..config import Config
 from ..models import build_model
 from ..parallel import make_mesh, shard_batch, replicate
-from ..utils import MetricLogger, StepTimer
+from ..utils import MetricLogger
 from . import checkpoints
 from .loops import make_steps
 from .state import TrainState, init_state
@@ -143,21 +144,22 @@ class Trainer:
             yield item
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
-        timer = StepTimer()
+        t0 = time.perf_counter()
         metrics = None
+        steps = 0
         for i, (db, valid) in enumerate(self._prefetch(self.train_loader)):
-            with timer:
-                self.state, metrics = self.train_step(self.state, db,
-                                                      self.rng)
+            self.state, metrics = self.train_step(self.state, db, self.rng)
+            steps += 1
             if i % self.log_every == 0:
                 self.logger.log(int(self.state.step),
                                 {k: float(v) for k, v in metrics.items()},
                                 epoch=epoch, prefix="train_")
         if metrics is None:  # dataset smaller than one batch
             return {"sec_per_step": 0.0}
-        # honest wall-clock: force completion before reading the timer
+        # fetch forces completion: dispatch-only timing lies on remote
+        # backends (CLAUDE.md), so per-step time = synced epoch wall clock
         last = {k: float(v) for k, v in metrics.items()}
-        last["sec_per_step"] = timer.mean
+        last["sec_per_step"] = (time.perf_counter() - t0) / steps
         return last
 
     def evaluate(self, visualize: bool = False) -> Dict[str, float]:
