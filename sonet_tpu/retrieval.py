@@ -62,3 +62,33 @@ def write_rank_files(results, ids: np.ndarray, out_dir: str) -> None:
         rows = np.stack([ids[cand_idx].astype(np.float64), dist], 1)
         np.savetxt(os.path.join(out_dir, name), rows, fmt="%06d %f",
                    delimiter=" ")
+
+
+def write_retrieval_gallery(results, ids: np.ndarray, dataset,
+                            out_dir: str, num_queries: int = 8,
+                            top: int = 3) -> str:
+    """Render query + top-k retrieved clouds to an HTML gallery — the
+    role of the reference's Matlab retrieval visualization
+    (data/sampler_matlab/visualization.m).
+
+    ``dataset[i]`` must return an item dict with a ``pc`` array in the
+    same order ``extract_scores`` consumed it.
+    """
+    from .utils.visualize import HTMLGallery, save_point_cloud_png
+
+    gallery = HTMLGallery(out_dir, title="retrieval results")
+    for q in range(min(num_queries, len(results))):
+        cand_idx, dist = results[q]
+        row = [save_point_cloud_png(
+            os.path.join(out_dir, f"q{q}_query.png"),
+            np.asarray(dataset[q]["pc"]), title=f"query {int(ids[q])}")]
+        caps = ["query"]
+        for rank, (ci, d) in enumerate(zip(cand_idx[1:top + 1],
+                                           dist[1:top + 1])):
+            row.append(save_point_cloud_png(
+                os.path.join(out_dir, f"q{q}_r{rank}.png"),
+                np.asarray(dataset[int(ci)]["pc"]),
+                title=f"#{rank + 1} d={float(d):.3f}"))
+            caps.append(f"#{rank + 1} id {int(ids[int(ci)])}")
+        gallery.add_row(f"query {int(ids[q])}", row, caps)
+    return gallery.save()

@@ -49,7 +49,10 @@ def main(argv=None):
                                            device_batch)
     results = retrieval.rank_all(scores)
     retrieval.write_rank_files(results, ids, known.output_dir)
-    print(f"wrote {len(results)} rank files to {known.output_dir}")
+    gallery = retrieval.write_retrieval_gallery(
+        results, ids, test_set, os.path.join(known.output_dir, "gallery"))
+    print(f"wrote {len(results)} rank files to {known.output_dir}; "
+          f"gallery at {gallery}")
 
 
 if __name__ == "__main__":

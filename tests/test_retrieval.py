@@ -38,3 +38,18 @@ class TestRankAll:
         assert f0[0].startswith("000101 0.0")  # self first
         assert f0[1].startswith("000202 ")
         assert len(list(tmp_path.iterdir())) == 3
+
+    def test_retrieval_gallery(self, tmp_path):
+        class DS:
+            def __getitem__(self, i):
+                rs = np.random.RandomState(i)
+                return {"pc": rs.randn(30, 3).astype(np.float32)}
+
+        scores = np.random.RandomState(0).randn(6, 3).astype(np.float32)
+        results = retrieval.rank_all(scores)
+        ids = np.arange(100, 106)
+        path = retrieval.write_retrieval_gallery(
+            results, ids, DS(), str(tmp_path), num_queries=2, top=2)
+        content = open(path).read()
+        assert "query 100" in content
+        assert os.path.getsize(tmp_path / "q0_query.png") > 500
