@@ -314,3 +314,15 @@ class TestVariants:
         vs = enc.init(jax.random.PRNGKey(0), pc, sn, node, train=False)
         out = enc.apply(vs, pc, sn, node, train=False)
         assert np.isfinite(np.asarray(out.feature)).all()
+
+
+class TestDecoder4096:
+    def test_output_sizes_4096(self):
+        cfg = tiny().replace(output_fc_pc_num=16, output_conv_pc_num=4096,
+                             feature_num=64)
+        dec = snn.Decoder(cfg)
+        f = jnp.asarray(np.random.RandomState(0).randn(2, 64), jnp.float32)
+        vs = dec.init(jax.random.PRNGKey(0), f, train=False)
+        out = dec.apply(vs, f, train=False)
+        assert out.pc.shape == (2, 16 + 4096, 3)
+        assert out.conv_pc6.shape == (2, 4096, 3)
