@@ -24,5 +24,21 @@ layout XLA tiles onto the TPU MXU/VPU.
 __version__ = "0.1.0"
 
 from . import config  # noqa: F401
+from . import ops  # noqa: F401
+from . import som  # noqa: F401
 
-__all__ = ["config", "__version__"]
+# heavier subpackages (flax/optax/orbax) import lazily on attribute access
+_LAZY = ("nn", "models", "train", "data", "parallel", "utils", "retrieval",
+         "native")
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = ["config", "ops", "som", *_LAZY, "__version__"]
