@@ -68,6 +68,11 @@ class Config:
 
     # ---- TPU-specific (new; no reference equivalent) ----------------------
     compute_dtype: str = "float32"  # float32 | bfloat16 for activations
+    # node pooling implementation: "auto" resolves to the sorted-pipeline
+    # Pallas kernel on a single TPU chip and to the scatter form elsewhere
+    # (CPU tests; sharded point axis — pallas_call has no partitioning
+    # rules, so Trainer forces "scatter" under a mesh)
+    pooling: str = "auto"  # auto | scatter | sorted_window
     remat: bool = False  # rematerialize the per-point stacks (memory vs FLOPs)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, points) mesh
     mesh_axes: Tuple[str, ...] = ("data", "points")

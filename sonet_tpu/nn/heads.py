@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import Config
-from ..ops.gather import gather_by_segment
+from ..ops.gather import gather_by_segment, permute_points
 from .encoder import EncoderOutput
 from .layers import PointLayer
 
@@ -100,6 +100,12 @@ class SegmenterHead(nn.Module):
         h = eq(1024, name="layer1")(h, train=train, epoch=epoch)
         h = eq(512, name="layer2")(h, train=train, epoch=epoch)
         h = eq(256, name="layer3")(h, train=train, epoch=epoch)
+
+        # sorted encoder pipeline: restore original stacked order once,
+        # after the (permutation-equivariant) shared MLPs, so the k-copy
+        # reshape below lines up (encoder.EncoderOutput docstring)
+        if enc.inv_perm is not None:
+            h = permute_points(h, enc.inv_perm, enc.perm)
 
         # average the k stacked copies back to N points (networks.py:330-336)
         h = jnp.mean(h.reshape(B, cfg.k, N, -1), axis=1)  # (B, N, 256)

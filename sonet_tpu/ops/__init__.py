@@ -15,7 +15,8 @@ from .segment import (
     segment_mean_onehot,
 )
 from .segment_sorted import segment_max_sorted, sort_by_segment
-from .gather import knn_gather, gather_by_segment
+from .segment_fast import segment_max_fast
+from .gather import knn_gather, gather_by_segment, permute_points
 from .chamfer import chamfer, robust_norm, ChamferResult
 from .iou import compute_iou, iou_per_shape, PART_LABEL, PART_TABLE
 
@@ -23,8 +24,8 @@ __all__ = [
     "pairwise_sqdist", "knn", "assign_topk", "one_hot_f32", "TopKAssign",
     "segment_max", "segment_max_onehot", "segment_max_scatter",
     "segment_counts", "segment_sum_onehot", "segment_mean_onehot",
-    "segment_max_sorted", "sort_by_segment",
-    "knn_gather", "gather_by_segment",
+    "segment_max_sorted", "sort_by_segment", "segment_max_fast",
+    "knn_gather", "gather_by_segment", "permute_points",
     "chamfer", "robust_norm", "ChamferResult",
     "compute_iou", "iou_per_shape", "PART_LABEL", "PART_TABLE",
 ]

@@ -25,10 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -3.0e38
 
 
-def _make_kernel(num_segments: int, window: int, dtype):
+def _make_kernel(num_segments: int, window: int):
     M, W = num_segments, window
-    # python float literal: weak-typed, follows data dtype (bf16 range
-    # covers -3e38); a jnp constant would be captured as a traced const
+    # python float literal: weak-typed, follows data dtype (f32 in-kernel)
     neg = _NEG
 
     def kernel(idx_ref, data_ref, val_ref):
@@ -39,7 +38,10 @@ def _make_kernel(num_segments: int, window: int, dtype):
             val_ref[...] = jnp.full_like(val_ref, _NEG)
 
         ids = idx_ref[0]            # (Nc, 1) int32
-        data = data_ref[0]          # (Nc, Cb) dtype
+        # upcast AFTER the DMA: bf16 input halves HBM->VMEM traffic while
+        # the VPU mask/max work runs in f32 (Mosaic relayout limitations
+        # block bf16 minor-dim broadcasts; the in-VMEM convert is cheap)
+        data = data_ref[0].astype(jnp.float32)   # (Nc, Cb)
         lo = jnp.minimum(jnp.min(ids), M - 1)
         hi = jnp.minimum(jnp.max(ids), M - 1)
         # W-grid-aligned windows: `base` is provably a multiple of W, so
@@ -67,23 +69,20 @@ def _make_kernel(num_segments: int, window: int, dtype):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "window",
-                                             "block_n", "block_c",
-                                             "interpret"))
-def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
-                         num_segments: int, window: int = 16,
-                         block_n: int = 512, block_c: int = 128,
-                         interpret: bool | None = None) -> jax.Array:
-    """Segment max values (B, M, C); empty segments -> data[:, 0, :].
-
-    data (B, N, C) f32/bf16; seg_ids (B, N) int32 (sorted = fast).
-    """
+def windowed_vals(data: jax.Array, seg_ids: jax.Array,
+                  num_segments: int, window: int = 16,
+                  block_n: int = 512, block_c: int = 128,
+                  interpret: bool | None = None) -> jax.Array:
+    """Raw kernel output: f32 (B, M, C) per-segment maxima with empty
+    segments left at -3e38 (callers patch empties; see
+    ``segment_max_windowed`` / ``ops.segment_fast``)."""
     B, N, C = data.shape
     M = num_segments
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # sublane alignment: window rows must be a tile multiple
-    min_w = 16 if data.dtype == jnp.bfloat16 else 8
+    # sublane alignment: window rows must be a tile multiple of the f32
+    # accumulator (the kernel computes in f32 regardless of input dtype)
+    min_w = 8
     window = max(min(window, M), min(min_w, M))
     if not interpret:
         window = max(window, min_w)
@@ -91,15 +90,11 @@ def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
     block_c = min(block_c, max(C, 1))
     M_pad = -(-M // window) * window
 
-    # dtype handling: f32 compiles on current Mosaic; bf16 in-kernel
-    # masked ops hit relayout limitations ("non-singleton logical
-    # dimension is replicated..."), so bf16 inputs are upcast for the
-    # kernel pass (DMA still halved at the jnp.pad boundary is not —
-    # revisit when Mosaic supports bf16 minor-dim broadcasts)
-    dtype = jnp.float32 if (not interpret or data.dtype
-                            not in (jnp.float32, jnp.bfloat16)) \
-        else data.dtype
-    dat = jax.lax.stop_gradient(data).astype(dtype)
+    # input stays in its dtype (bf16 halves the dominant HBM->VMEM DMA);
+    # the kernel upcasts in VMEM and accumulates in f32
+    dat = jax.lax.stop_gradient(data)
+    if dat.dtype not in (jnp.float32, jnp.bfloat16):
+        dat = dat.astype(jnp.float32)
     ids = jax.lax.stop_gradient(seg_ids).astype(jnp.int32)
     n_pad = (-N) % block_n
     c_pad = (-C) % block_c
@@ -111,7 +106,7 @@ def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
     Np, Cp = dat.shape[1], dat.shape[2]
 
     vals = pl.pallas_call(
-        _make_kernel(M_pad, window, dtype),
+        _make_kernel(M_pad, window),
         grid=(B, Cp // block_c, Np // block_n),
         in_specs=[
             pl.BlockSpec((1, block_n, 1), lambda b, c, n: (b, n, 0),
@@ -122,12 +117,34 @@ def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
         out_specs=pl.BlockSpec((1, M_pad, block_c),
                                lambda b, c, n: (b, 0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M_pad, Cp), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, M_pad, Cp), jnp.float32),
         interpret=interpret,
     )(ids[..., None], dat)[:, :M, :C]
+    return vals
 
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "window",
+                                             "block_n", "block_c",
+                                             "interpret"))
+def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
+                         num_segments: int, window: int = 16,
+                         block_n: int = 512, block_c: int = 128,
+                         interpret: bool | None = None,
+                         counts: jax.Array | None = None) -> jax.Array:
+    """Segment max values (B, M, C); empty segments -> data[:, 0, :].
+
+    data (B, N, C) f32/bf16; seg_ids (B, N) int32 (sorted = fast).
+    ``counts`` (B, M) may be passed in to avoid rebuilding the one-hot
+    occupancy reduce when the caller already has it.
+    """
+    M = num_segments
+    C = data.shape[-1]
+    vals = windowed_vals(data, seg_ids, M, window, block_n, block_c,
+                         interpret)
     # empty segments: -inf -> feature of point 0 (networks.py:185 parity)
-    counts = jnp.sum(jax.nn.one_hot(seg_ids, M, dtype=jnp.float32), axis=1)
+    if counts is None:
+        counts = jnp.sum(jax.nn.one_hot(seg_ids, M, dtype=jnp.float32),
+                         axis=1)
     empty = (counts == 0)[..., None]
-    vals = jnp.where(empty, dat[:, 0:1, :C], vals)
+    vals = jnp.where(empty, data[:, 0:1, :C].astype(jnp.float32), vals)
     return vals.astype(data.dtype)

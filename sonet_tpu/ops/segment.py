@@ -72,9 +72,17 @@ def _fwd(data, seg_ids, num_segments):
     return out, (data, seg_ids, out, counts)
 
 
-def _bwd(num_segments, res, g):
-    data, seg_ids, out, counts = res
-    M = num_segments
+def route_max_grad(data, seg_ids, out, counts, g, point0_idx=None):
+    """Matmul-routed VJP of a segment max: route each output cotangent
+    back to the winning point(s) through a winner-equality mask.
+
+    ``point0_idx`` names the per-batch position that received the
+    empty-segment forward value (default 0 — the sorted pipeline passes
+    the sorted position of original stacked point 0 for parity with
+    networks.py:185).  Shared by ``segment_max`` and the Pallas-forward
+    ``segment_max_fast`` (ops/segment_fast.py).
+    """
+    M = out.shape[1]
     ids3 = seg_ids[..., None]
     bf16 = data.dtype == jnp.bfloat16
     onehot = jax.nn.one_hot(seg_ids, M,
@@ -108,11 +116,19 @@ def _bwd(num_segments, res, g):
     ties_pp = jnp.round(jnp.einsum("bnm,bmc->bnc", onehot, ties,
                                    preferred_element_type=jnp.float32))
     grad = eq * g_pp / jnp.maximum(ties_pp, 1.0)
-    # empty segments forwarded data[:, 0, :]: gradient to point 0
+    # empty segments forwarded the point0 feature: gradient routed there
     g_empty = jnp.sum(jnp.where(empty, g, 0.0), axis=1)     # (B, C)
-    grad = grad.at[:, 0, :].add(g_empty)
-    return (grad.astype(data.dtype),
-            jnp.zeros(seg_ids.shape, jax.dtypes.float0))
+    if point0_idx is None:
+        grad = grad.at[:, 0, :].add(g_empty)
+    else:
+        grad = grad.at[jnp.arange(data.shape[0]), point0_idx, :].add(g_empty)
+    return grad.astype(data.dtype)
+
+
+def _bwd(num_segments, res, g):
+    data, seg_ids, out, counts = res
+    grad = route_max_grad(data, seg_ids, out, counts, g)
+    return (grad, jnp.zeros(seg_ids.shape, jax.dtypes.float0))
 
 
 segment_max.defvjp(_fwd, _bwd)
