@@ -117,6 +117,32 @@ class InstanceNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class ConcatDense(nn.Module):
+    """Dense over the concatenation of two inputs, computed as two sliced
+    GEMMs + add.  Param tree is identical to ``nn.Dense`` applied to the
+    concat (one ``kernel (C1+C2, F)`` + ``bias``) so checkpoints and
+    weight transplants are unaffected — but the (B, N, C1+C2) concat is
+    never materialized and its backward has no split (the split + layout
+    copy cost 0.38 ms/step at flagship shapes on v5e)."""
+
+    features: int
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
+        C1, C2 = x1.shape[-1], x2.shape[-1]
+        kernel = self.param("kernel", he_normal_in(),
+                            (C1 + C2, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        dt = self.compute_dtype
+        if dt is not None:
+            x1, x2, kernel, bias = (x1.astype(dt), x2.astype(dt),
+                                    kernel.astype(dt), bias.astype(dt))
+        y = (jnp.dot(x1, kernel[:C1]) + jnp.dot(x2, kernel[C1:])) + bias
+        return y
+
+
 class PointLayer(nn.Module):
     """Dense -> [BatchNorm] -> [activation] over the trailing axis.
 
@@ -126,6 +152,10 @@ class PointLayer(nn.Module):
     ``compute_dtype`` (e.g. jnp.bfloat16) runs the matmul/activation in
     reduced precision — params and BN statistics stay float32 (standard
     mixed precision; halves HBM traffic on the bandwidth-bound parts).
+
+    ``x2``: optional second input — the layer then acts on the virtual
+    concatenation ``[x, x2]`` via ``ConcatDense`` (same params, no
+    materialized concat; used by PointResNet's skip layer).
     """
 
     features: int
@@ -137,13 +167,18 @@ class PointLayer(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False,
+    def __call__(self, x: jax.Array, x2: jax.Array | None = None, *,
+                 train: bool = False,
                  epoch: jax.Array | None = None) -> jax.Array:
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
-        x = nn.Dense(self.features, kernel_init=he_normal_in(),
-                     bias_init=nn.initializers.zeros,
-                     dtype=self.compute_dtype)(x)
+        if x2 is not None:
+            x = ConcatDense(self.features, compute_dtype=self.compute_dtype,
+                            name="Dense_0")(x, x2)
+        else:
+            x = nn.Dense(self.features, kernel_init=he_normal_in(),
+                         bias_init=nn.initializers.zeros,
+                         dtype=self.compute_dtype)(x)
         if self.normalization == "batch":
             x = BatchNorm(momentum=self.momentum,
                           momentum_decay_step=self.bn_momentum_decay_step,
@@ -216,8 +251,10 @@ class PointResNet(nn.Module):
         for c in self.out_channels[1:-1]:
             h = layer(c, self.activation, self.normalization)(
                 h, train=train, epoch=epoch)
+        # virtual concat via ConcatDense: same params as Dense over
+        # [out0, h], but the (B, N, C0+Ck) tensor is never materialized
         return layer(self.out_channels[-1], None, None)(
-            jnp.concatenate([out0, h], axis=-1), train=train, epoch=epoch)
+            out0, h, train=train, epoch=epoch)
 
 
 class KNNModule(nn.Module):

@@ -102,20 +102,22 @@ def route_max_grad(data, seg_ids, out, counts, g, point0_idx=None):
     eq = (data == out_pp).astype(jnp.float32)
     # tie counts per (segment, channel); rounded so the division is exact
     # (inputs are exact in bf16; accumulation is f32)
-    ties = jnp.einsum("bnm,bnc->bmc", onehot, eq,
-                      preferred_element_type=jnp.float32)
+    ties = jnp.round(jnp.einsum("bnm,bnc->bmc", onehot, eq,
+                                preferred_element_type=jnp.float32))
     empty = (counts == 0)[..., None]                        # (B, M, 1)
     g = g.astype(jnp.float32)
     g_eff = jnp.where(empty, 0.0, g)
-    # route per-segment values back to points on the MXU (gathers from a
-    # (B, M, C) table are ~10x slower than these one-hot matmuls)
-    g_pp = jnp.einsum("bnm,bmc->bnc", onehot,
-                      g_eff.astype(jnp.bfloat16) if bf16 else g_eff,
-                      preferred_element_type=jnp.float32,
-                      precision=None if bf16 else _HI)
-    ties_pp = jnp.round(jnp.einsum("bnm,bmc->bnc", onehot, ties,
-                                   preferred_element_type=jnp.float32))
-    grad = eq * g_pp / jnp.maximum(ties_pp, 1.0)
+    # divide by tie count PER SEGMENT before routing: one (B, N, C)
+    # einsum instead of two (identical values — both lookups route the
+    # same per-(segment, channel) row; saves a ~184MB f32 materialization
+    # at flagship shapes).  Routing rides the MXU: gathers from a
+    # (B, M, C) table are ~10x slower than these one-hot matmuls.
+    ratio = g_eff / jnp.maximum(ties, 1.0)                  # (B, M, C)
+    ratio_pp = jnp.einsum("bnm,bmc->bnc", onehot,
+                          ratio.astype(jnp.bfloat16) if bf16 else ratio,
+                          preferred_element_type=jnp.float32,
+                          precision=None if bf16 else _HI)
+    grad = eq * ratio_pp
     # empty segments forwarded the point0 feature: gradient routed there
     g_empty = jnp.sum(jnp.where(empty, g, 0.0), axis=1)     # (B, C)
     if point0_idx is None:
