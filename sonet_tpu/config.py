@@ -67,6 +67,9 @@ class Config:
     translation_perturbation: bool = False
 
     # ---- TPU-specific (new; no reference equivalent) ----------------------
+    # every production preset sets bfloat16 activations (params/BN stats
+    # stay float32); the float32 default is the bit-parity configuration
+    # used by the parity tests.  bench.py benches the preset as-is.
     compute_dtype: str = "float32"  # float32 | bfloat16 for activations
     # node pooling implementation: "auto" resolves to the sorted-pipeline
     # Pallas kernel on a single TPU chip and to the scatter form elsewhere
@@ -115,28 +118,32 @@ def modelnet40() -> Config:
     """modelnet/options.py defaults with classes=40 (lr decay 20)."""
     return Config(task="classify", dataset="modelnet", classes=40,
                   input_pc_num=5000, dropout=0.7, som_k=9, som_k_type="avg",
-                  lr_decay_step=20, epochs=301)
+                  lr_decay_step=20, epochs=301,
+                  compute_dtype="bfloat16")
 
 
 def modelnet10() -> Config:
     """ModelNet10: dropout +0.1, lr decay 40 (modelnet/train.py:36-37,106-109)."""
     return Config(task="classify", dataset="modelnet", classes=10,
                   input_pc_num=5000, dropout=0.8, som_k=9, som_k_type="avg",
-                  lr_decay_step=40, epochs=301)
+                  lr_decay_step=40, epochs=301,
+                  compute_dtype="bfloat16")
 
 
 def shrec16() -> Config:
     """shrec16/options.py: 55 classes, som_k=0, dropout 0.6, 201 epochs."""
     return Config(task="retrieve", dataset="shrec", classes=55,
                   input_pc_num=5000, dropout=0.6, som_k=0, som_k_type="avg",
-                  lr_decay_step=20, epochs=201)
+                  lr_decay_step=20, epochs=201,
+                  compute_dtype="bfloat16")
 
 
 def shapenetpart() -> Config:
     """part-seg/options.py: 50 part classes, 1024 pts, som_k_type center."""
     return Config(task="segment", dataset="shapenet", classes=50,
                   input_pc_num=1024, dropout=0.6, som_k=9, som_k_type="center",
-                  lr_decay_step=20, epochs=601)
+                  lr_decay_step=20, epochs=601,
+                  compute_dtype="bfloat16")
 
 
 def autoencoder() -> Config:
@@ -144,7 +151,8 @@ def autoencoder() -> Config:
     return Config(task="autoencode", dataset="shapenet", classes=40,
                   input_pc_num=1024, dropout=0.5, som_k=9, som_k_type="avg",
                   output_pc_num=1280, output_fc_pc_num=256,
-                  output_conv_pc_num=1024, lr_decay_step=20, epochs=601)
+                  output_conv_pc_num=1024, lr_decay_step=20, epochs=601,
+                  compute_dtype="bfloat16")
 
 
 def mnist() -> Config:
@@ -153,7 +161,8 @@ def mnist() -> Config:
     return Config(task="classify", dataset="mnist", classes=10,
                   input_pc_num=512, surface_normal=False, dropout=0.5,
                   node_num=25, k=3, som_k=9, som_k_type="avg",
-                  lr_decay_step=20, epochs=51)
+                  lr_decay_step=20, epochs=51,
+                  compute_dtype="bfloat16")
 
 
 def tiny_test() -> Config:
