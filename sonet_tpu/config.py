@@ -204,7 +204,14 @@ def parse_args(argv=None, preset: str = "modelnet40") -> Config:
             p.add_argument(f"--{f.name}", type=int, default=default)
         elif t in ("float", float):
             p.add_argument(f"--{f.name}", type=float, default=default)
-        elif f.name in ("mesh_shape", "mesh_axes"):
+        elif f.name == "mesh_shape":
+            # comma-separated, e.g. --mesh_shape 4,2 = (data=4, points=2)
+            p.add_argument("--mesh_shape",
+                           type=lambda s: tuple(int(t) for t in
+                                                s.replace("x", ",").split(",")
+                                                if t),
+                           default=default)
+        elif f.name == "mesh_axes":
             continue  # set programmatically
         else:
             p.add_argument(f"--{f.name}", type=str, default=default)

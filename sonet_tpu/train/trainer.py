@@ -71,8 +71,21 @@ class Trainer:
     def __init__(self, cfg: Config, *, log_every: int = 200,
                  out_dir: Optional[str] = None, quiet: bool = False,
                  mesh=None, resume: bool = True):
+        import math
+
         from ..data.pipeline import BatchLoader
 
+        # --mesh_shape from the CLI/config builds the mesh right here
+        # (reference: none — single GPU only, SURVEY.md §2.3); an
+        # explicitly passed mesh takes precedence.
+        if mesh is None and math.prod(cfg.mesh_shape) > 1:
+            mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        if mesh is not None:
+            # keep cfg consistent with the actual mesh so pooling
+            # resolution (encoder.resolve_pooling) sees the mesh and
+            # picks the shardable scatter form
+            cfg = cfg.replace(mesh_shape=tuple(mesh.devices.shape),
+                              mesh_axes=tuple(mesh.axis_names))
         self.cfg = cfg
         self.mesh = mesh
         self.out_dir = out_dir or os.path.join(cfg.checkpoints_dir, cfg.name)
