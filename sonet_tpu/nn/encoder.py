@@ -192,10 +192,15 @@ class Encoder(nn.Module):
             pooled = segment_max(first_pn_out, min_idx, M)  # (B, M, 384)
 
         if cfg.som_k >= 2:
-            # kNN over recentered nodes: on-device replacement for the
-            # dataloader Faiss kNN (modelnet_shrec_loader.py:257-259).
+            # On-device replacement for the dataloader Faiss kNN
+            # (modelnet_shrec_loader.py:257-261).  Reference semantics:
+            # the kNN graph is built on the INPUT SOM nodes, before the
+            # cluster-mean recentering above (the loader computes it
+            # host-side from the stored nodes; recentering happens later
+            # inside Encoder.forward).  The KNNModule then *gathers* the
+            # recentered ``som_node`` coordinates through these indices.
             if node_knn_I is None:
-                knn_I = knn(jax.lax.stop_gradient(som_node), cfg.som_k)
+                knn_I = knn(jax.lax.stop_gradient(node), cfg.som_k)
             else:
                 knn_I = node_knn_I[:, :, : cfg.som_k]
             knn_center, knn_feature = KNNModule(
