@@ -45,14 +45,17 @@ def main(argv=None):
     def device_batch(b):
         return {k: jnp.asarray(v) for k, v in b.items() if k != "valid"}
 
-    scores, ids = retrieval.extract_scores(eval_step, state, loader,
-                                           device_batch)
+    scores, labels, ids = retrieval.extract_scores(eval_step, state, loader,
+                                                   device_batch)
     results = retrieval.rank_all(scores)
+    metrics = retrieval.retrieval_metrics(results, labels)
     retrieval.write_rank_files(results, ids, known.output_dir)
     gallery = retrieval.write_retrieval_gallery(
         results, ids, test_set, os.path.join(known.output_dir, "gallery"))
     print(f"wrote {len(results)} rank files to {known.output_dir}; "
           f"gallery at {gallery}")
+    print({k: round(v, 4) for k, v in metrics.items()})
+    return metrics
 
 
 if __name__ == "__main__":

@@ -89,9 +89,10 @@ class TestShrecTask:
             return {k: jnp.asarray(v) for k, v in b.items()
                     if k != "valid"}
 
-        scores, ids = retrieval.extract_scores(trainer.eval_step,
-                                               trainer.state, loader,
-                                               device_batch)
+        scores, labels, ids = retrieval.extract_scores(trainer.eval_step,
+                                                       trainer.state, loader,
+                                                       device_batch)
+        assert labels.shape == (4,)
         assert scores.shape == (4, 3)
         results = retrieval.rank_all(scores)
         out = tmp_path / "rank"
