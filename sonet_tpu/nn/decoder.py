@@ -31,6 +31,17 @@ def _uniform_pm1() -> nn.initializers.Initializer:
     return init
 
 
+def _bn_kw(cfg: Config) -> dict:
+    """BN momentum/decay + compute dtype plumb-through: a user setting
+    --bn_momentum* must reach the decoder's BN layers too (the reference
+    passes opt into every sub-network, networks.py:347-431)."""
+    return dict(momentum=cfg.bn_momentum,
+                bn_momentum_decay_step=cfg.bn_momentum_decay_step,
+                bn_momentum_decay=cfg.bn_momentum_decay,
+                compute_dtype=(jnp.bfloat16
+                               if cfg.compute_dtype == "bfloat16" else None))
+
+
 class DecoderLinear(nn.Module):
     cfg: Config
 
@@ -42,8 +53,9 @@ class DecoderLinear(nn.Module):
         h = feature
         for c in (2 * P, 3 * P, 4 * P):
             h = PointLayer(c, activation=cfg.activation,
-                           normalization=cfg.normalization)(
+                           normalization=cfg.normalization, **_bn_kw(cfg))(
                 h, train=train, epoch=epoch)
+        h = h.astype(jnp.float32)
         h = nn.Dense(3 * P, kernel_init=he_normal_in(),
                      bias_init=_uniform_pm1(), name="linear_out")(h)
         # reference views the 3P vector as (3, P) channel-first
@@ -63,10 +75,11 @@ class ConvToPC(nn.Module):
         cfg = self.cfg
         C = x.shape[-1]
         h = PointLayer(C, activation=cfg.activation,
-                       normalization=cfg.normalization)(
+                       normalization=cfg.normalization, **_bn_kw(cfg))(
             x, train=train, epoch=epoch)
         return nn.Dense(3, kernel_init=he_normal_in(),
-                        bias_init=_uniform_pm1())(h)  # (B, H, W, 3)
+                        bias_init=_uniform_pm1())(
+            h.astype(jnp.float32))  # (B, H, W, 3)
 
 
 class DecoderConvOutput(NamedTuple):
@@ -83,7 +96,8 @@ class DecoderConv(nn.Module):
                  epoch: jax.Array | None = None) -> DecoderConvOutput:
         cfg = self.cfg
         F = cfg.feature_num
-        kw = dict(activation=cfg.activation, normalization=cfg.normalization)
+        kw = dict(activation=cfg.activation, normalization=cfg.normalization,
+                  **_bn_kw(cfg))
         x = feature.reshape(-1, 1, 1, F)  # NHWC 1x1
         x = UpConv(F, **kw)(x, train=train, epoch=epoch)            # 2x2
         x = UpConv(F // 2, **kw)(x, train=train, epoch=epoch)       # 4x4

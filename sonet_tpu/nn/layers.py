@@ -313,15 +313,25 @@ class UpConv(nn.Module):
     features: int
     activation: Optional[str] = "relu"
     normalization: Optional[str] = "batch"
+    momentum: float = 0.1
+    bn_momentum_decay_step: Optional[int] = None
+    bn_momentum_decay: float = 0.6
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False,
                  epoch: jax.Array | None = None) -> jax.Array:
         B, H, W, C = x.shape
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
         x = nn.Conv(self.features, (3, 3), padding="SAME",
                     kernel_init=he_normal_out(),
-                    bias_init=nn.initializers.constant(0.001))(x)
+                    bias_init=nn.initializers.constant(0.001),
+                    dtype=self.compute_dtype)(x)
         if self.normalization == "batch":
-            x = BatchNorm()(x, use_running_average=not train, epoch=epoch)
+            x = BatchNorm(momentum=self.momentum,
+                          momentum_decay_step=self.bn_momentum_decay_step,
+                          momentum_decay=self.bn_momentum_decay)(
+                x, use_running_average=not train, epoch=epoch)
         return activation_fn(self.activation)(x)
