@@ -30,6 +30,8 @@ class ChamferResult(NamedTuple):
     forward_loss: jax.Array   # scalar: mean over predict->gt matches
     backward_loss: jax.Array  # scalar: mean over gt->predict matches
     loss_array: jax.Array     # (B,) per-item fwd+bwd means (losses.py:289)
+    forward_array: jax.Array  # (B,) per-item forward means
+    backward_array: jax.Array  # (B,) per-item backward means
 
 
 def chamfer(predict_pc: jax.Array, gt_pc: jax.Array) -> ChamferResult:
@@ -52,8 +54,11 @@ def chamfer(predict_pc: jax.Array, gt_pc: jax.Array) -> ChamferResult:
 
     forward_loss = jnp.mean(fwd_elem)
     backward_loss = jnp.mean(bwd_elem)
-    loss_array = jnp.mean(fwd_elem, axis=-1) + jnp.mean(bwd_elem, axis=-1)
+    forward_array = jnp.mean(fwd_elem, axis=-1)
+    backward_array = jnp.mean(bwd_elem, axis=-1)
     return ChamferResult(loss=forward_loss + backward_loss,
                          forward_loss=forward_loss,
                          backward_loss=backward_loss,
-                         loss_array=loss_array)
+                         loss_array=forward_array + backward_array,
+                         forward_array=forward_array,
+                         backward_array=backward_array)

@@ -71,9 +71,36 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
 
 def restore_encoder(path: str, state: TrainState) -> TrainState:
     """Encoder-only transfer (--pretrain): load just params['encoder'] and
-    matching batch_stats from a full checkpoint of any task model."""
-    ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(_abs(path))
+    matching batch_stats from a full checkpoint of any task model.
+
+    The checkpoint may come from a DIFFERENT task (autoencoder ->
+    part-seg transfer), so the live state is no template; one is built
+    from the checkpoint's own metadata, with the encoder leaves carrying
+    the live state's shardings — restoring onto a different mesh than
+    the save mesh stays well-defined (no topology-from-file guessing)."""
+    ckptr = ocp.StandardCheckpointer()
+    path = _abs(path)
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+
+    default = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+    def _sds(m, cur=None):
+        # non-encoder leaves are discarded after restore; any concrete
+        # placement silences the unsafe topology-from-file path
+        return jax.ShapeDtypeStruct(
+            tuple(m.shape), m.dtype,
+            sharding=getattr(cur, "sharding", None) or default)
+
+    template = jax.tree_util.tree_map(_sds, meta_tree)
+    template["params"]["encoder"] = jax.tree_util.tree_map(
+        _sds, meta_tree["params"]["encoder"], state.params["encoder"])
+    if ("batch_stats" in template
+            and "encoder" in meta_tree.get("batch_stats", {})
+            and state.batch_stats.get("encoder") is not None):
+        template["batch_stats"]["encoder"] = jax.tree_util.tree_map(
+            _sds, meta_tree["batch_stats"]["encoder"],
+            state.batch_stats["encoder"])
+    restored = ckptr.restore(path, template)
     params = dict(state.params)
     params["encoder"] = restored["params"]["encoder"]
     bs = dict(state.batch_stats)
