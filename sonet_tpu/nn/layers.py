@@ -117,6 +117,35 @@ class InstanceNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class DenseBN(nn.Module):
+    """Dense whose bias is stop-gradiented: used when a BatchNorm follows.
+
+    BN's batch-mean subtraction cancels an additive per-channel bias
+    EXACTLY, so the bias has zero true gradient in training; autodiff
+    still materializes it as a full (B, N, C) cotangent reduce_sum —
+    ~0.5 ms/step at flagship shapes on v5e.  The forward add is kept
+    (eval-mode BN uses running stats, where the bias is live), only the
+    dead gradient is cut.  The torch reference computes the same
+    gradient as fp summation noise and Adam random-walks the bias on it;
+    freezing is the exact behavior (documented in PARITY.md).
+
+    Param tree is identical to ``nn.Dense`` (kernel + bias)."""
+
+    features: int
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", he_normal_in(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        dt = self.compute_dtype
+        if dt is not None:
+            x, kernel, bias = x.astype(dt), kernel.astype(dt), bias.astype(dt)
+        return jnp.dot(x, kernel) + jax.lax.stop_gradient(bias)
+
+
 class ConcatDense(nn.Module):
     """Dense over the concatenation of two inputs, computed as two sliced
     GEMMs + add.  Param tree is identical to ``nn.Dense`` applied to the
@@ -127,6 +156,7 @@ class ConcatDense(nn.Module):
 
     features: int
     compute_dtype: Optional[jnp.dtype] = None
+    stop_bias_grad: bool = False  # see DenseBN
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
@@ -139,6 +169,8 @@ class ConcatDense(nn.Module):
         if dt is not None:
             x1, x2, kernel, bias = (x1.astype(dt), x2.astype(dt),
                                     kernel.astype(dt), bias.astype(dt))
+        if self.stop_bias_grad:
+            bias = jax.lax.stop_gradient(bias)
         y = (jnp.dot(x1, kernel[:C1]) + jnp.dot(x2, kernel[C1:])) + bias
         return y
 
@@ -172,9 +204,13 @@ class PointLayer(nn.Module):
                  epoch: jax.Array | None = None) -> jax.Array:
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
+        bn = self.normalization == "batch"
         if x2 is not None:
             x = ConcatDense(self.features, compute_dtype=self.compute_dtype,
-                            name="Dense_0")(x, x2)
+                            stop_bias_grad=bn, name="Dense_0")(x, x2)
+        elif bn:
+            x = DenseBN(self.features, compute_dtype=self.compute_dtype,
+                        name="Dense_0")(x)
         else:
             x = nn.Dense(self.features, kernel_init=he_normal_in(),
                          bias_init=nn.initializers.zeros,

@@ -99,7 +99,9 @@ def route_max_grad(data, seg_ids, out, counts, g, point0_idx=None):
                             ).astype(jnp.bfloat16)
     else:
         out_pp = jnp.take_along_axis(out, ids3, axis=1)     # (B, N, C)
-    eq = (data == out_pp).astype(jnp.float32)
+    # winner mask in the compute dtype: 0/1 entries are exact in bf16,
+    # halving the (B, N, C) traffic of both consumers below
+    eq = (data == out_pp).astype(jnp.bfloat16 if bf16 else jnp.float32)
     # tie counts per (segment, channel); rounded so the division is exact
     # (inputs are exact in bf16; accumulation is f32)
     ties = jnp.round(jnp.einsum("bnm,bnc->bmc", onehot, eq,
@@ -113,13 +115,18 @@ def route_max_grad(data, seg_ids, out, counts, g, point0_idx=None):
     # at flagship shapes).  Routing rides the MXU: gathers from a
     # (B, M, C) table are ~10x slower than these one-hot matmuls.
     ratio = g_eff / jnp.maximum(ties, 1.0)                  # (B, M, C)
+    # bf16 data: the routed output IS the (already bf16) ratio passing
+    # through a single 1.0 per row — bf16 output is exact and halves the
+    # (B, N, C) write vs a f32 accumulator dump
     ratio_pp = jnp.einsum("bnm,bmc->bnc", onehot,
                           ratio.astype(jnp.bfloat16) if bf16 else ratio,
-                          preferred_element_type=jnp.float32,
+                          preferred_element_type=(jnp.bfloat16 if bf16
+                                                  else jnp.float32),
                           precision=None if bf16 else _HI)
     grad = eq * ratio_pp
     # empty segments forwarded the point0 feature: gradient routed there
     g_empty = jnp.sum(jnp.where(empty, g, 0.0), axis=1)     # (B, C)
+    g_empty = g_empty.astype(grad.dtype)
     if point0_idx is None:
         grad = grad.at[:, 0, :].add(g_empty)
     else:

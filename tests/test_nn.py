@@ -66,6 +66,53 @@ class TestBatchNorm:
                                    atol=1e-5)
 
 
+class TestDenseBNBias:
+    def test_bias_grad_zero_under_batchnorm(self):
+        """Bias before train-mode BN is inert (mean subtraction cancels
+        it); its gradient is stop_gradiented to zero (PARITY.md)."""
+        layer = snn.PointLayer(8, activation="relu", normalization="batch")
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 6),
+                        jnp.float32)
+        vs = layer.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss(params):
+            y, _ = layer.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(y * y)
+
+        g = jax.grad(loss)(vs["params"])
+        np.testing.assert_array_equal(
+            np.asarray(g["Dense_0"]["bias"]), 0.0)
+        assert float(jnp.abs(g["Dense_0"]["kernel"]).max()) > 0.0
+
+    def test_bias_add_still_live_in_eval(self):
+        """The forward add is kept: eval-mode BN uses running stats, so
+        shifting the bias shifts the output."""
+        layer = snn.PointLayer(8, activation=None, normalization="batch")
+        x = jnp.asarray(np.random.RandomState(1).randn(4, 16, 6),
+                        jnp.float32)
+        vs = layer.init(jax.random.PRNGKey(0), x, train=True)
+        y0 = layer.apply(vs, x, train=False)
+        shifted = jax.tree_util.tree_map(lambda a: a, vs["params"])
+        shifted["Dense_0"]["bias"] = shifted["Dense_0"]["bias"] + 1.0
+        y1 = layer.apply({"params": shifted,
+                          "batch_stats": vs["batch_stats"]}, x, train=False)
+        assert float(jnp.abs(y1 - y0).max()) > 0.1
+
+    def test_bias_grad_nonzero_without_norm(self):
+        layer = snn.PointLayer(8, activation=None, normalization=None)
+        x = jnp.asarray(np.random.RandomState(2).randn(4, 16, 6),
+                        jnp.float32)
+        vs = layer.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            return jnp.sum(layer.apply({"params": params}, x) ** 2)
+
+        g = jax.grad(loss)(vs["params"])
+        assert float(jnp.abs(g["Dense_0"]["bias"]).max()) > 0.0
+
+
 class TestLayers:
     def test_pointresnet_channel_plan(self):
         """final layer consumes concat(out0, out[k-2]) (layers.py:416)."""
