@@ -92,6 +92,16 @@ class ModelNetDataset(EpochSeeded):
     def __len__(self):
         return len(self.items)
 
+    def raw_item(self, idx: int) -> Dict[str, np.ndarray]:
+        """Full-resolution item, no subsample/augmentation — feeds the
+        device-resident pipeline (data/device_pipeline.py)."""
+        pc_path, label, som_path = self.items[idx]
+        data = np.load(pc_path)
+        return {"pc": np.ascontiguousarray(data[:, 0:3], np.float32),
+                "sn": np.ascontiguousarray(data[:, 3:6], np.float32),
+                "node": np.load(som_path).astype(np.float32),
+                "label": np.int64(label)}
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         rng = self.item_rng(idx)

@@ -99,6 +99,15 @@ class SyntheticDataset(EpochSeeded):
     def __len__(self):
         return len(self.pc)
 
+    def raw_item(self, idx: int) -> Dict[str, np.ndarray]:
+        """Un-augmented item for the device-resident pipeline."""
+        item = {"pc": self.pc[idx], "sn": self.sn[idx],
+                "node": self.som_node[idx],
+                "label": self.label[idx].astype(np.int64)}
+        if self.cfg.task == "segment":
+            item["seg"] = self.seg[idx]
+        return item
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         pc, sn, node = self.pc[idx], self.sn[idx], self.som_node[idx]

@@ -123,6 +123,20 @@ class Trainer:
             self.state = replicate(self.state, self.mesh)
         self.train_step, self.eval_step = make_steps(self.model, cfg,
                                                      self.steps_per_epoch)
+        # device-resident pipeline (data/device_pipeline.py): the whole
+        # split lives in HBM and subsample+augment fuse into the step jit
+        self.device_train = self.device_eval = None
+        if cfg.input_pipeline == "device":
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "input_pipeline='device' is single-chip for now; "
+                    "use the host pipeline under a mesh")
+            from ..data.device_pipeline import (load_device_data,
+                                                make_device_epoch_fns)
+            self.device_train = load_device_data(self.train_set)
+            self.device_eval = load_device_data(self.test_set)
+            self.train_epoch_dev, self.eval_epoch_dev = \
+                make_device_epoch_fns(self.model, cfg, self.steps_per_epoch)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self.best_metric = None
 
@@ -156,17 +170,57 @@ class Trainer:
                 return
             yield item
 
+    def _device_epoch_index(self, data, shuffle: bool, epoch: int):
+        """((S, B) index table, per-row valid counts) for one epoch over
+        a device-resident split.  Ships in ONE host->device transfer;
+        the epoch program scans it (per-step dispatch on a remote chip
+        costs ~1-20 ms of round-trip latency each)."""
+        T, B = data.size, self.cfg.batch_size
+        order = np.arange(T)
+        if shuffle:
+            order = np.random.default_rng(
+                self.cfg.seed + 1000 + epoch).permutation(T)
+            order = order[: (T // B) * B]  # drop last, like the train loader
+        valids = []
+        rows = []
+        for i in range(0, len(order), B):
+            chunk = order[i:i + B]
+            valids.append(len(chunk))
+            if len(chunk) < B:  # pad by repeating the last item
+                chunk = np.concatenate([chunk,
+                                        np.full(B - len(chunk), chunk[-1])])
+            rows.append(chunk)
+        if not rows:
+            return None, []
+        return jnp.asarray(np.stack(rows).astype(np.int32)), valids
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         t0 = time.perf_counter()
         metrics = None
         steps = 0
-        for i, (db, valid) in enumerate(self._prefetch(self.train_loader)):
-            self.state, metrics = self.train_step(self.state, db, self.rng)
-            steps += 1
-            if i % self.log_every == 0:
-                self.logger.log(int(self.state.step),
-                                {k: float(v) for k, v in metrics.items()},
-                                epoch=epoch, prefix="train_")
+        if self.device_train is not None:
+            epoch_idx, _valids = self._device_epoch_index(
+                self.device_train, True, epoch)
+            if epoch_idx is not None:
+                self.state, ms = self.train_epoch_dev(
+                    self.state, self.device_train, epoch_idx, self.rng)
+                ms = {k: np.asarray(v) for k, v in ms.items()}  # one sync
+                steps = len(epoch_idx)
+                for i in range(0, steps, self.log_every):
+                    self.logger.log(int(self.state.step) - steps + i + 1,
+                                    {k: float(v[i]) for k, v in ms.items()},
+                                    epoch=epoch, prefix="train_")
+                metrics = {k: v[-1] for k, v in ms.items()}
+        else:
+            for i, (db, valid) in enumerate(
+                    self._prefetch(self.train_loader)):
+                self.state, metrics = self.train_step(self.state, db,
+                                                      self.rng)
+                steps += 1
+                if i % self.log_every == 0:
+                    self.logger.log(int(self.state.step),
+                                    {k: float(v) for k, v in metrics.items()},
+                                    epoch=epoch, prefix="train_")
         if metrics is None:  # dataset smaller than one batch
             return {"sec_per_step": 0.0}
         # fetch forces completion: dispatch-only timing lies on remote
@@ -175,14 +229,27 @@ class Trainer:
         last["sec_per_step"] = (time.perf_counter() - t0) / steps
         return last
 
+    def _eval_batches(self):
+        if self.device_eval is not None:
+            epoch_idx, valids = self._device_epoch_index(
+                self.device_eval, False, 0)
+            if epoch_idx is None:
+                return
+            ms = self.eval_epoch_dev(self.state, self.device_eval, epoch_idx)
+            ms = {k: np.asarray(v) for k, v in ms.items()}  # one sync
+            for i, valid in enumerate(valids):
+                yield None, {k: v[i] for k, v in ms.items()}, valid
+        else:
+            for db, valid in self._prefetch(self.test_loader):
+                yield db, self.eval_step(self.state, db), valid
+
     def evaluate(self, visualize: bool = False) -> Dict[str, float]:
         """Batch-size-weighted eval (modelnet/train.py:78-90)."""
         sums: Dict[str, float] = {}
         count = 0
         first = True
-        for db, valid in self._prefetch(self.test_loader):
-            m = self.eval_step(self.state, db)
-            if visualize and first:
+        for db, m, valid in self._eval_batches():
+            if visualize and first and db is not None:
                 self._save_visuals(db, m)
                 first = False
             count += valid

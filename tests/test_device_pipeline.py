@@ -1,0 +1,106 @@
+"""Device-resident input pipeline (data/device_pipeline.py): the split
+lives in HBM, subsample + augmentation fuse into the step jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonet_tpu import config as cfg_mod
+from sonet_tpu.data.device_pipeline import (DeviceData, load_device_data,
+                                            sample_batch)
+from sonet_tpu.train.trainer import Trainer, build_dataset
+
+
+def _cfg(**kw):
+    return cfg_mod.tiny_test().replace(**kw)
+
+
+class TestSampleBatch:
+    def _data(self, cfg, n_raw=96, T=12, seed=0):
+        rs = np.random.RandomState(seed)
+        return DeviceData(
+            pc=jnp.asarray(rs.randn(T, n_raw, 3).astype(np.float32)),
+            sn=jnp.asarray(rs.randn(T, n_raw, 3).astype(np.float32)),
+            node=jnp.asarray(
+                rs.randn(T, cfg.node_num, 3).astype(np.float32)),
+            label=jnp.asarray(rs.randint(0, cfg.classes, T)))
+
+    def test_eval_subsample_is_distinct_subset(self):
+        cfg = _cfg(input_pc_num=64)
+        data = self._data(cfg)
+        idx = jnp.asarray([3, 7, 0, 5], jnp.int32)
+        b = sample_batch(data, idx, jax.random.PRNGKey(0), cfg, train=False)
+        assert b["pc"].shape == (4, 64, 3)
+        assert b["sn"].shape == (4, 64, 3)
+        np.testing.assert_array_equal(np.asarray(b["label"]),
+                                      np.asarray(data.label)[[3, 7, 0, 5]])
+        # every sampled point is an exact row of the source item, and the
+        # subset has no duplicates (distinct top-k subsample)
+        for j, item in enumerate([3, 7, 0, 5]):
+            src = np.asarray(data.pc[item])
+            got = np.asarray(b["pc"][j])
+            matches = (np.abs(src[None, :, :] - got[:, None, :])
+                       .sum(-1) < 1e-6)
+            row = matches.argmax(1)
+            assert matches[np.arange(64), row].all()
+            assert len(set(row.tolist())) == 64
+
+    def test_train_augmentation_statistics(self):
+        """Jitter stays within clips; per-item scale within U(0.8, 1.2);
+        pc and node share the item scale (augmentation.py semantics)."""
+        cfg = _cfg(input_pc_num=96)  # no subsample: n_raw == N
+        data = self._data(cfg)
+        idx = jnp.arange(8, dtype=jnp.int32)
+        b = sample_batch(data, idx, jax.random.PRNGKey(1), cfg, train=True)
+        raw = np.asarray(data.pc)[:8]
+        got = np.asarray(b["pc"])
+        # model: got = (raw + jitter) * scale, scale in [0.8, 1.2]
+        ratio = got / (raw + 1e-9)
+        # estimate per-item scale from median ratio; jitter is bounded
+        scale = np.median(ratio.reshape(8, -1), axis=1)
+        assert (scale > 0.7).all() and (scale < 1.3).all()
+        resid = got / scale[:, None, None] - raw
+        assert np.abs(resid).max() <= 0.051
+        node_ratio = np.asarray(b["node"]) / (np.asarray(data.node)[:8] + 1e-9)
+        node_scale = np.median(node_ratio.reshape(8, -1), axis=1)
+        np.testing.assert_allclose(node_scale, scale, atol=0.05)
+
+    def test_segment_labels_follow_subsample(self):
+        cfg = _cfg(task="segment", input_pc_num=48)
+        rs = np.random.RandomState(3)
+        T, n_raw = 6, 96
+        # encode the point index in the coordinate so seg alignment is
+        # checkable after subsampling
+        pc = np.tile(np.arange(n_raw, dtype=np.float32)[None, :, None],
+                     (T, 1, 3))
+        seg = np.tile(np.arange(n_raw, dtype=np.int64)[None, :], (T, 1))
+        data = DeviceData(
+            pc=jnp.asarray(pc), sn=jnp.asarray(pc),
+            node=jnp.asarray(rs.randn(T, cfg.node_num, 3).astype(np.float32)),
+            label=jnp.asarray(rs.randint(0, 16, T)),
+            seg=jnp.asarray(seg))
+        b = sample_batch(data, jnp.arange(4, dtype=jnp.int32),
+                         jax.random.PRNGKey(2), cfg, train=False)
+        np.testing.assert_array_equal(np.asarray(b["seg"]),
+                                      np.asarray(b["pc"][..., 0]).astype(np.int64))
+
+
+class TestTrainerDevicePipeline:
+    def test_trainer_device_pipeline_e2e(self, tmp_path):
+        cfg = _cfg(input_pipeline="device", epochs=1,
+                   checkpoints_dir=str(tmp_path), name="devpipe_t")
+        trainer = Trainer(cfg, quiet=True, resume=False)
+        assert trainer.device_train is not None
+        metrics = trainer.fit(epochs=1)
+        assert np.isfinite(metrics["loss"])
+        assert 0.0 <= metrics["accuracy"] <= 1.0
+
+    def test_device_data_matches_host_raw(self):
+        cfg = _cfg()
+        ds = build_dataset(cfg, "test")
+        data = load_device_data(ds)
+        assert data.size == len(ds)
+        raw0 = ds.raw_item(0)
+        np.testing.assert_array_equal(np.asarray(data.pc[0]), raw0["pc"])
+        np.testing.assert_array_equal(np.asarray(data.node[0]),
+                                      raw0["node"])
