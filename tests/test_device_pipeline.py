@@ -95,6 +95,17 @@ class TestTrainerDevicePipeline:
         assert np.isfinite(metrics["loss"])
         assert 0.0 <= metrics["accuracy"] <= 1.0
 
+    def test_trainer_device_pipeline_segment(self, tmp_path):
+        # classes=50: synthetic segment labels come from the ShapeNetPart
+        # 16->50 table (data/synthetic.py)
+        cfg = _cfg(task="segment", classes=50, input_pipeline="device",
+                   epochs=1, checkpoints_dir=str(tmp_path),
+                   name="devpipe_seg_t")
+        trainer = Trainer(cfg, quiet=True, resume=False)
+        metrics = trainer.fit(epochs=1)
+        assert np.isfinite(metrics["loss"])
+        assert 0.0 <= metrics["iou"] <= 1.0
+
     def test_device_data_matches_host_raw(self):
         cfg = _cfg()
         ds = build_dataset(cfg, "test")
