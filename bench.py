@@ -74,54 +74,94 @@ def main():
     train_step, _ = train.make_steps(model, cfg, 1230)
     rng = jax.random.PRNGKey(1)
 
-    # FLOPs from the compiled module (before donation invalidates state)
+    # ONE compile: the AOT executable serves cost_analysis AND the
+    # timing loop (lower().compile() does not populate the jit cache, so
+    # calling train_step afterwards would compile the same program twice
+    # on this 1-core host)
+    compiled = train_step.lower(state, batch, rng).compile()
     flops = None
     try:
-        cost = train_step.lower(state, batch, rng).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if cost:
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(c.get("flops", 0.0)) or None
     except Exception:
         pass
 
-    # compile + warmup; fetch forces completion (see docstring)
+    # warmup; fetch forces completion (see docstring)
     for _ in range(3):
-        state, metrics = train_step(state, batch, rng)
+        state, metrics = compiled(state, batch, rng)
     _ = float(metrics["loss"])
 
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = train_step(state, batch, rng)
+        state, metrics = compiled(state, batch, rng)
     _ = float(metrics["loss"])  # hard sync: step i depends on state i-1
     wall = (time.perf_counter() - t0) / iters
 
-    # device-lane time + breakdown (non-donating wrapper: the traced loop
-    # reuses one state; donation would invalidate it)
     raw = getattr(train_step, "__wrapped__", None)
+
+    # production path: the trainer scans whole epochs inside one jit
+    # (data/device_pipeline.py), so per-step dispatch vanishes.  Measure
+    # a 100-step scan of the same train step — this is the sustained
+    # number real training achieves (soaked at 4.29 ms/step, DESIGN.md).
+    scan_ms = None
+    if raw is not None:
+        def epoch100(state):
+            def body(s, i):
+                s, m = raw(s, batch, jax.random.fold_in(rng, i))
+                return s, m["loss"]
+            return jax.lax.scan(body, state, jnp.arange(100))
+        f100 = jax.jit(epoch100)
+        state2, losses = f100(state)
+        _ = float(losses[-1])
+        t0 = time.perf_counter()
+        state2, losses = f100(state)
+        _ = float(losses[-1])
+        scan_ms = (time.perf_counter() - t0) / 100 * 1e3
+
+    # device-lane time + breakdown, LAST: the jax.profiler trace
+    # occasionally hangs on the tunneled backend (CLAUDE.md), and a
+    # failed trace could leave the profiler armed — nothing timed runs
+    # after this point.  (Non-donating wrapper: the traced loop reuses
+    # one state.)
     breakdown = {}
     dev_ms = None
     if raw is not None:
+        import signal
+
+        def _bail(signum, frame):
+            raise TimeoutError("profiler trace hung")
+
         f = jax.jit(lambda s: raw(s, batch, rng))
         try:
+            signal.signal(signal.SIGALRM, _bail)
+            signal.alarm(150)
             dev_ms, per_op = device_time(f, (state,), iters=10)
             breakdown = _coarse_breakdown(per_op)
         except Exception:
             pass
+        finally:
+            signal.alarm(0)
 
-    clouds_per_sec = B / wall
+    clouds_per_sec = B / (scan_ms / 1e3) if scan_ms else B / wall
     out = {
-        "metric": "ModelNet40 train throughput (B=8, N=5000, bf16 full step)",
+        "metric": "ModelNet40 train throughput (B=8, N=5000, bf16 full step,"
+                  " epoch-scan)",
         "value": round(clouds_per_sec, 2),
         "unit": "point clouds/sec/chip",
         "vs_baseline": round(clouds_per_sec / REF_CLOUDS_PER_SEC, 3),
         "step_ms_wall": round(wall * 1e3, 3),
     }
+    if scan_ms is not None:
+        out["step_ms_scanned"] = round(scan_ms, 3)
     if dev_ms is not None:
         out["step_ms_device"] = round(dev_ms, 3)
         out["breakdown_ms"] = breakdown
     if flops is not None:
-        t = (dev_ms / 1e3) if dev_ms else wall
+        t = (scan_ms / 1e3) if scan_ms else ((dev_ms / 1e3) if dev_ms
+                                             else wall)
         out["flops_per_step"] = flops
         out["mfu"] = round(flops / t / V5E_PEAK_BF16_FLOPS, 4)
     print(json.dumps(out))

@@ -47,11 +47,18 @@ class DeviceData(NamedTuple):
 def load_device_data(dataset, device=None) -> DeviceData:
     """Stack a map-style dataset's RAW items and put them on device.
 
-    Uses ``dataset.raw_item(idx)`` (full-resolution, no subsample or
-    augmentation) when available, else ``dataset[idx]``.  All items must
-    share shapes (true for the reference layouts: 10k-point npy /
-    fixed-size npz)."""
-    get = getattr(dataset, "raw_item", None) or dataset.__getitem__
+    Requires ``dataset.raw_item(idx)`` (full-resolution, no subsample or
+    augmentation).  Falling back to ``dataset[idx]`` would silently bake
+    ONE frozen train-time augmentation into HBM and then augment again
+    per step — a corrupted distribution — so datasets without raw_item
+    are rejected.  All items must share shapes (true for the reference
+    layouts: 10k-point npy / fixed-size npz)."""
+    get = getattr(dataset, "raw_item", None)
+    if get is None:
+        raise TypeError(
+            f"{type(dataset).__name__} has no raw_item(); the "
+            "device-resident pipeline needs un-augmented full-resolution "
+            "items (use the host input pipeline for this dataset)")
     first = get(0)
     T = len(dataset)
     keys = [k for k in ("pc", "sn", "node", "label", "seg") if k in first]

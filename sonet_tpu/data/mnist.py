@@ -122,6 +122,13 @@ class MNISTPointCloudDataset(EpochSeeded):
     def __len__(self):
         return len(self.points)
 
+    def raw_item(self, idx: int) -> Dict[str, np.ndarray]:
+        """Un-augmented item for the device-resident pipeline (points are
+        already at input_pc_num, so no on-device subsample happens)."""
+        return {"pc": self.points[idx].astype(np.float32),
+                "node": self.som_node[idx].astype(np.float32),
+                "label": self.labels[idx]}
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         pc = self.points[idx]
         node = self.som_node[idx]

@@ -25,7 +25,10 @@ class ClassifierHead(nn.Module):
         cfg = self.cfg
         bn_kw = dict(momentum=cfg.bn_momentum,
                      bn_momentum_decay_step=cfg.bn_momentum_decay_step,
-                     bn_momentum_decay=cfg.bn_momentum_decay)
+                     bn_momentum_decay=cfg.bn_momentum_decay,
+                     compute_dtype=(jnp.bfloat16
+                                    if cfg.compute_dtype == "bfloat16"
+                                    else None))
         h = PointLayer(512, activation=cfg.activation,
                        normalization=cfg.normalization, **bn_kw, name="fc1")(
             feature, train=train, epoch=epoch)
@@ -89,7 +92,10 @@ class SegmenterHead(nn.Module):
 
         bn_kw = dict(momentum=cfg.bn_momentum,
                      bn_momentum_decay_step=cfg.bn_momentum_decay_step,
-                     bn_momentum_decay=cfg.bn_momentum_decay)
+                     bn_momentum_decay=cfg.bn_momentum_decay,
+                     compute_dtype=(jnp.bfloat16
+                                    if cfg.compute_dtype == "bfloat16"
+                                    else None))
 
         def eq(c, act=True, name=None):
             return PointLayer(
@@ -113,4 +119,5 @@ class SegmenterHead(nn.Module):
         h = eq(128, name="layer4")(h, train=train, epoch=epoch)
         if cfg.dropout > 0.1:  # drop4 (networks.py:339-340)
             h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
-        return eq(cfg.classes, act=False, name="layer5")(h)  # (B, N, classes)
+        score = eq(cfg.classes, act=False, name="layer5")(h)  # (B, N, classes)
+        return score.astype(jnp.float32)  # f32 scores for the loss/softmax

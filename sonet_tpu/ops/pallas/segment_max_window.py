@@ -139,6 +139,11 @@ def segment_max_windowed(data: jax.Array, seg_ids: jax.Array,
     """
     M = num_segments
     C = data.shape[-1]
+    # forward-only: gradients come exclusively from segment_max_fast's
+    # custom VJP (ops/segment_fast.py).  Without this, autodiff would
+    # error inside pallas_call anyway, but the empty-patch read below
+    # must not look differentiable either.
+    data = jax.lax.stop_gradient(data)
     vals = windowed_vals(data, seg_ids, M, window, block_n, block_c,
                          interpret)
     # empty segments: -inf -> feature of point 0 (networks.py:185 parity)

@@ -79,7 +79,11 @@ class Trainer:
         # (reference: none — single GPU only, SURVEY.md §2.3); an
         # explicitly passed mesh takes precedence.
         if mesh is None and math.prod(cfg.mesh_shape) > 1:
-            mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+            # pad a short shape with 1s: `--mesh_shape 8` means 8-way
+            # data parallel over the ("data", "points") axes
+            shape = tuple(cfg.mesh_shape)
+            shape += (1,) * (len(cfg.mesh_axes) - len(shape))
+            mesh = make_mesh(shape, cfg.mesh_axes)
         if mesh is not None:
             # keep cfg consistent with the actual mesh so pooling
             # resolution (encoder.resolve_pooling) sees the mesh and

@@ -85,14 +85,22 @@ def device_time(fn: Callable, args, iters: int = 10,
     out = fn(*args)
     sync(out)
     tmp = tempfile.mkdtemp(prefix="tprof_")
+    tracing = False
     try:
         jax.profiler.start_trace(tmp)
+        tracing = True
         for _ in range(iters):
             out = fn(*args)
         sync(out)
         jax.profiler.stop_trace()
+        tracing = False
         total, per_op = _parse_trace(tmp)
     finally:
+        if tracing:  # failure mid-trace: don't leave the profiler armed
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         shutil.rmtree(tmp, ignore_errors=True)
     per_run = {k: v / iters for k, v in per_op.items()}
     if top:
