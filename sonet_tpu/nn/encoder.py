@@ -68,6 +68,7 @@ class EncoderOutput(NamedTuple):
     final_pn_out: jax.Array         # (B, M, F)
     perm: Optional[jax.Array] = None      # (B, kN) sorted pos -> original
     inv_perm: Optional[jax.Array] = None  # (B, kN) original -> sorted pos
+    onehot: Optional[jax.Array] = None    # (B, kN, M) assignment one-hot
 
 
 class Encoder(nn.Module):
@@ -232,7 +233,7 @@ class Encoder(nn.Module):
             x_decentered=x_decentered, first_pn_out=first_pn_out,
             first_pn_out_masked_max=pooled, knn_center=knn_center,
             knn_feature=knn_feature, final_pn_out=final_pn_out,
-            perm=perm, inv_perm=inv_perm)
+            perm=perm, inv_perm=inv_perm, onehot=onehot)
 
 
 class Transformer(nn.Module):

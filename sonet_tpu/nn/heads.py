@@ -69,26 +69,32 @@ class SegmenterHead(nn.Module):
         B, kN, _ = enc.x_stack.shape
         N = kN // cfg.k
 
-        # node -> point skip gathers (segmenter.py:92-98)
-        g384 = gather_by_segment(enc.first_pn_out_masked_max, enc.min_idx)
-        g_final = gather_by_segment(enc.final_pn_out, enc.min_idx)
+        # node -> point skip gathers (segmenter.py:92-98) routed as
+        # one-hot MXU matmuls (the encoder already built the one-hot)
+        g384 = gather_by_segment(enc.first_pn_out_masked_max, enc.min_idx,
+                                 enc.onehot)
+        g_final = gather_by_segment(enc.final_pn_out, enc.min_idx,
+                                    enc.onehot)
 
         label_onehot = jax.nn.one_hot(label, NUM_SHAPE_CATEGORIES,
                                       dtype=enc.x_stack.dtype)  # (B, 16)
-        label_onehot = jnp.broadcast_to(label_onehot[:, None, :],
-                                        (B, kN, NUM_SHAPE_CATEGORIES))
-        feature_exp = jnp.broadcast_to(enc.feature[:, None, :],
-                                       (B, kN, enc.feature.shape[-1]))
 
+        # parts stay UN-concatenated: layer1 is a ConcatDense over them
+        # (identical param tree to Dense over the reference's concat,
+        # networks.py:298-325), so the (B, kN, 3356) concat and its
+        # backward split never materialize.  The rank-2 parts
+        # (label one-hot, global feature) broadcast along points INSIDE
+        # the GEMM — their (B, kN, C) expansion (and its kN-redundant
+        # FLOPs) is skipped too.
         parts = [enc.x_decentered, enc.x_stack, enc.centers]
         if cfg.surface_normal:
             parts.append(enc.sn_stack)
         parts += [label_onehot, enc.first_pn_out, g384]
         if cfg.som_k >= 2:
             assert enc.knn_feature is not None
-            parts.append(gather_by_segment(enc.knn_feature, enc.min_idx))
-        parts += [g_final, feature_exp]
-        h = jnp.concatenate(parts, axis=-1)
+            parts.append(gather_by_segment(enc.knn_feature, enc.min_idx,
+                                           enc.onehot))
+        parts += [g_final, enc.feature]
 
         bn_kw = dict(momentum=cfg.bn_momentum,
                      bn_momentum_decay_step=cfg.bn_momentum_decay_step,
@@ -103,7 +109,7 @@ class SegmenterHead(nn.Module):
                 normalization=cfg.normalization if act else None, **bn_kw,
                 name=name)
 
-        h = eq(1024, name="layer1")(h, train=train, epoch=epoch)
+        h = eq(1024, name="layer1")(tuple(parts), train=train, epoch=epoch)
         h = eq(512, name="layer2")(h, train=train, epoch=epoch)
         h = eq(256, name="layer3")(h, train=train, epoch=epoch)
 

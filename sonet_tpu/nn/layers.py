@@ -147,32 +147,48 @@ class DenseBN(nn.Module):
 
 
 class ConcatDense(nn.Module):
-    """Dense over the concatenation of two inputs, computed as two sliced
+    """Dense over the concatenation of N inputs, computed as N sliced
     GEMMs + add.  Param tree is identical to ``nn.Dense`` applied to the
-    concat (one ``kernel (C1+C2, F)`` + ``bias``) so checkpoints and
-    weight transplants are unaffected — but the (B, N, C1+C2) concat is
-    never materialized and its backward has no split (the split + layout
-    copy cost 0.38 ms/step at flagship shapes on v5e)."""
+    concat (one ``kernel (sum C_i, F)`` + ``bias``) so checkpoints and
+    weight transplants are unaffected — but the (B, N, sum C_i) concat is
+    never materialized and its backward has no split (concat + split cost
+    0.38 ms/step for PointResNet's skip; ~1 ms for the segmenter's
+    3,356-channel skip concat at flagship shapes on v5e).
+
+    Rank-2 inputs ``(B, C_i)`` among rank-3 ones are treated as
+    broadcast-along-points (the segmenter's global feature and label
+    one-hot, networks.py:298-325): their GEMM runs at ``(B, C_i)`` and
+    the result broadcast-adds — skipping both the (B, kN, C_i)
+    materialization and its (B*kN/B)x redundant FLOPs."""
 
     features: int
     compute_dtype: Optional[jnp.dtype] = None
     stop_bias_grad: bool = False  # see DenseBN
 
     @nn.compact
-    def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
-        C1, C2 = x1.shape[-1], x2.shape[-1]
+    def __call__(self, *xs: jax.Array) -> jax.Array:
+        Cs = [x.shape[-1] for x in xs]
         kernel = self.param("kernel", he_normal_in(),
-                            (C1 + C2, self.features), jnp.float32)
+                            (sum(Cs), self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         dt = self.compute_dtype
         if dt is not None:
-            x1, x2, kernel, bias = (x1.astype(dt), x2.astype(dt),
-                                    kernel.astype(dt), bias.astype(dt))
+            xs = tuple(x.astype(dt) for x in xs)
+            kernel, bias = kernel.astype(dt), bias.astype(dt)
         if self.stop_bias_grad:
             bias = jax.lax.stop_gradient(bias)
-        y = (jnp.dot(x1, kernel[:C1]) + jnp.dot(x2, kernel[C1:])) + bias
-        return y
+        out_rank = max(x.ndim for x in xs)
+        y = None
+        off = 0
+        for x, C in zip(xs, Cs):
+            part = jnp.dot(x, kernel[off:off + C])
+            if x.ndim < out_rank:  # broadcast-along-points input
+                part = jnp.expand_dims(
+                    part, tuple(range(1, 1 + out_rank - x.ndim)))
+            y = part if y is None else y + part
+            off += C
+        return y + bias
 
 
 class PointLayer(nn.Module):
@@ -185,9 +201,10 @@ class PointLayer(nn.Module):
     reduced precision — params and BN statistics stay float32 (standard
     mixed precision; halves HBM traffic on the bandwidth-bound parts).
 
-    ``x2``: optional second input — the layer then acts on the virtual
-    concatenation ``[x, x2]`` via ``ConcatDense`` (same params, no
-    materialized concat; used by PointResNet's skip layer).
+    ``x2`` (or ``x`` given as a tuple/list of arrays): the layer acts on
+    the virtual concatenation of the inputs via ``ConcatDense`` (same
+    params, no materialized concat; used by PointResNet's skip layer and
+    the segmenter's skip-concat layer1).
     """
 
     features: int
@@ -202,19 +219,21 @@ class PointLayer(nn.Module):
     def __call__(self, x: jax.Array, x2: jax.Array | None = None, *,
                  train: bool = False,
                  epoch: jax.Array | None = None) -> jax.Array:
-        if self.compute_dtype is not None:
-            x = x.astype(self.compute_dtype)
         bn = self.normalization == "batch"
-        if x2 is not None:
+        if isinstance(x, (tuple, list)) or x2 is not None:
+            parts = tuple(x) if isinstance(x, (tuple, list)) else (x, x2)
             x = ConcatDense(self.features, compute_dtype=self.compute_dtype,
-                            stop_bias_grad=bn, name="Dense_0")(x, x2)
-        elif bn:
-            x = DenseBN(self.features, compute_dtype=self.compute_dtype,
-                        name="Dense_0")(x)
+                            stop_bias_grad=bn, name="Dense_0")(*parts)
         else:
-            x = nn.Dense(self.features, kernel_init=he_normal_in(),
-                         bias_init=nn.initializers.zeros,
-                         dtype=self.compute_dtype)(x)
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
+            if bn:
+                x = DenseBN(self.features, compute_dtype=self.compute_dtype,
+                            name="Dense_0")(x)
+            else:
+                x = nn.Dense(self.features, kernel_init=he_normal_in(),
+                             bias_init=nn.initializers.zeros,
+                             dtype=self.compute_dtype)(x)
         if self.normalization == "batch":
             x = BatchNorm(momentum=self.momentum,
                           momentum_decay_step=self.bn_momentum_decay_step,
