@@ -57,6 +57,38 @@ class ShapeNetPartDataset(EpochSeeded):
     def __len__(self):
         return len(self.items)
 
+    def raw_item(self, idx: int) -> Dict[str, np.ndarray]:
+        """Un-augmented fixed-size item for the device-resident pipeline.
+
+        Shapes are deterministically resampled to ``2 * input_pc_num``
+        raw points (seeded per item) so the split stacks into one HBM
+        array; the per-epoch random subsample to ``input_pc_num``
+        happens on device.  For shapes whose native count already equals
+        the raw size (the common prepared-dataset case) this is a pure
+        load."""
+        cfg = self.cfg
+        file = self.items[idx][11:]
+        rows = cfg.rows
+        data = np.load(os.path.join(self.root,
+                                    f"{file}_{rows}x{rows}.npz"))
+        pc, sn = data["pc"], data["sn"]
+        seg = data["part_label"]
+        node = data["som_node"]
+        label = FOLDERS.index(file[0:8])
+        R = 2 * cfg.input_pc_num
+        n = pc.shape[0]
+        if n != R:
+            r = np.random.default_rng(cfg.seed * 100_003 + idx)
+            if n > R:
+                choice = r.choice(n, R, replace=False)
+            else:
+                choice = np.concatenate(
+                    [np.arange(n), r.choice(n, R - n, replace=True)])
+            pc, sn, seg = pc[choice], sn[choice], seg[choice]
+        return {"pc": pc.astype(np.float32), "sn": sn.astype(np.float32),
+                "node": node.astype(np.float32),
+                "label": np.int64(label), "seg": seg.astype(np.int64)}
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         rng = self.item_rng(idx)

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Full-scale training soak through the real dataset stack.
+
+Trains any preset through its real dataset loader
+(-> BatchLoader | device-resident pipeline -> Trainer) on the TPU and
+reports sustained, input-pipeline-INCLUSIVE throughput next to
+bench.py's synthetic-batch number, plus the task eval metrics.
+
+    python tools/soak.py --dataroot /root/mn40_scale --epochs 2 \
+        --input_pipeline device
+    python tools/soak.py --preset shapenetpart \
+        --dataroot /root/snpart_scale --epochs 30 --input_pipeline device
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sonet_tpu.config import PRESETS
+from sonet_tpu.train.trainer import Trainer
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--preset", default="modelnet40",
+                   choices=sorted(PRESETS.keys()))
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--input_pipeline", default="host",
+                   choices=("host", "device"))
+    p.add_argument("--out", default="/tmp/soak_ckpt")
+    args = p.parse_args()
+
+    cfg = PRESETS[args.preset]().replace(
+        dataroot=args.dataroot,
+        input_pipeline=args.input_pipeline,
+        name=f"soak_{args.preset}_{args.input_pipeline}",
+        checkpoints_dir=args.out)
+    t0 = time.perf_counter()
+    trainer = Trainer(cfg, quiet=True, resume=False)
+    print(f"setup (incl. data load): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    for epoch in range(args.epochs):
+        tr = trainer.train_epoch(epoch)
+        sps = tr["sec_per_step"]
+        extra = " ".join(f"{k} {v:.4f}" for k, v in sorted(tr.items())
+                         if k != "sec_per_step")
+        print(f"epoch {epoch}: {sps * 1e3:.2f} ms/step sustained = "
+              f"{cfg.batch_size / sps:.1f} clouds/s ({extra})", flush=True)
+    ev = trainer.evaluate()
+    print(f"eval: {ev}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
