@@ -136,6 +136,18 @@ class ShrecDataset(EpochSeeded):
     def __len__(self):
         return len(self.items)
 
+    def raw_item(self, idx: int) -> Dict[str, np.ndarray]:
+        """Un-augmented full-resolution item for the device-resident
+        pipeline (the per-epoch subsample to input_pc_num happens on
+        device; the retrieval ``id`` is not carried — retrieval
+        extraction uses the host loader)."""
+        npz_path, label, _name = self.items[idx]
+        data = np.load(npz_path)
+        return {"pc": data["pc"].astype(np.float32),
+                "sn": data["sn"].astype(np.float32),
+                "node": data["som_node"].astype(np.float32),
+                "label": np.int64(label)}
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         rng = self.item_rng(idx)
