@@ -44,8 +44,15 @@ class DeviceData(NamedTuple):
         return self.pc.shape[0]
 
 
-def load_device_data(dataset, device=None) -> DeviceData:
+def load_device_data(dataset, device=None, mesh=None) -> DeviceData:
     """Stack a map-style dataset's RAW items and put them on device.
+
+    With ``mesh``, the arrays are REPLICATED over it: at SO-Net scale a
+    whole split is ~2.4 GB of a 16 GB HBM, so replication (rather than
+    sharding the item axis) keeps every batch gather local — the epoch
+    index table is what gets sharded over the data axis
+    (Trainer._device_epoch_index), so each chip gathers and augments
+    only its batch shard with no collectives.
 
     Requires ``dataset.raw_item(idx)`` (full-resolution, no subsample or
     augmentation).  Falling back to ``dataset[idx]`` would silently bake
@@ -68,7 +75,14 @@ def load_device_data(dataset, device=None) -> DeviceData:
         item = get(i) if i else first
         for k in keys:
             host[k][i] = item[k]
-    put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P())
+        put = lambda x: jax.device_put(x, sharding)  # noqa: E731
+    elif device is not None:
+        put = lambda x: jax.device_put(x, device)  # noqa: E731
+    else:
+        put = jax.device_put
     return DeviceData(
         pc=put(host["pc"]),
         sn=put(host["sn"]) if "sn" in host else None,

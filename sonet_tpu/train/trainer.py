@@ -131,14 +131,14 @@ class Trainer:
         # split lives in HBM and subsample+augment fuse into the step jit
         self.device_train = self.device_eval = None
         if cfg.input_pipeline == "device":
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "input_pipeline='device' is single-chip for now; "
-                    "use the host pipeline under a mesh")
             from ..data.device_pipeline import (load_device_data,
                                                 make_device_epoch_fns)
-            self.device_train = load_device_data(self.train_set)
-            self.device_eval = load_device_data(self.test_set)
+            # under a mesh: dataset replicated, index table sharded over
+            # 'data' (see load_device_data docstring)
+            self.device_train = load_device_data(self.train_set,
+                                                 mesh=self.mesh)
+            self.device_eval = load_device_data(self.test_set,
+                                                mesh=self.mesh)
             self.train_epoch_dev, self.eval_epoch_dev = \
                 make_device_epoch_fns(self.model, cfg, self.steps_per_epoch)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -196,7 +196,13 @@ class Trainer:
             rows.append(chunk)
         if not rows:
             return None, []
-        return jnp.asarray(np.stack(rows).astype(np.int32)), valids
+        table = np.stack(rows).astype(np.int32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(
+                table, NamedSharding(self.mesh,
+                                     P(None, self.cfg.mesh_axes[0]))), valids
+        return jnp.asarray(table), valids
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         t0 = time.perf_counter()

@@ -106,6 +106,64 @@ class TestTrainerDevicePipeline:
         assert np.isfinite(metrics["loss"])
         assert 0.0 <= metrics["iou"] <= 1.0
 
+    def test_device_epoch_fns_mesh_matches_single(self):
+        """2-step epoch scan under a 4x2 mesh (dataset replicated, index
+        table sharded over 'data') must agree with single-device."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if len(jax.devices()) < 8:
+            import pytest
+            pytest.skip("needs 8 virtual devices")
+        from sonet_tpu import models, train
+        from sonet_tpu.data.device_pipeline import make_device_epoch_fns
+        from sonet_tpu.parallel import make_mesh, replicate
+
+        def run(mesh):
+            cfg = _cfg(batch_size=8, dropout=0.0,
+                       mesh_shape=(mesh.devices.shape if mesh else (1, 1)))
+            ds = build_dataset(cfg, "train")
+            data = load_device_data(ds, mesh=mesh)
+            model = models.build_model(cfg)
+            ex = jnp.zeros((8, cfg.input_pc_num, 3), jnp.float32)
+            state = train.init_state(
+                model, cfg, jax.random.PRNGKey(0),
+                (ex, ex, jnp.zeros((8, cfg.node_num, 3), jnp.float32)),
+                steps_per_epoch=2)
+            table = np.arange(16, dtype=np.int32).reshape(2, 8) % data.size
+            if mesh is not None:
+                state = replicate(state, mesh)
+                table = jax.device_put(
+                    table, NamedSharding(mesh, P(None, "data")))
+            else:
+                table = jnp.asarray(table)
+            tfn, efn = make_device_epoch_fns(model, cfg, 2)
+            # eval BEFORE training pins the eval pipeline itself; eval
+            # AFTER 2 Adam steps is excluded: Adam's m/sqrt(v) with
+            # v ~ 0 amplifies f32 all-reduce reassociation noise into
+            # O(1%) parameter drift (sign-sensitive near-zero grads)
+            ev0 = efn(state, data, table)
+            state, ms = tfn(state, data, table, jax.random.PRNGKey(1))
+            return (np.asarray(ev0["loss"]), np.asarray(ms["loss"]))
+
+        e1, l1 = run(None)
+        e8, l8 = run(make_mesh((4, 2)))
+        np.testing.assert_allclose(e1, e8, rtol=1e-5)
+        np.testing.assert_allclose(l1, l8, rtol=5e-3, atol=5e-4)
+
+    def test_trainer_device_pipeline_on_mesh_smoke(self, tmp_path):
+        import jax
+
+        if len(jax.devices()) < 8:
+            import pytest
+            pytest.skip("needs 8 virtual devices")
+        cfg = _cfg(input_pipeline="device", epochs=1, batch_size=8,
+                   dropout=0.0, mesh_shape=(4, 2),
+                   checkpoints_dir=str(tmp_path), name="dev_mesh_smoke")
+        trainer = Trainer(cfg, quiet=True, resume=False)
+        metrics = trainer.fit(epochs=1)
+        assert np.isfinite(metrics["loss"])
+
     def test_device_data_matches_host_raw(self):
         cfg = _cfg()
         ds = build_dataset(cfg, "test")
