@@ -77,10 +77,13 @@ class Config:
     # rules, so Trainer forces "scatter" under a mesh)
     pooling: str = "auto"  # auto | scatter | sorted_window
     # input pipeline: "host" = threaded BatchLoader (reference-style);
+    # "native" = host pipeline with C++ batch assembly (npy read +
+    # subsample + augmentation in native worker threads,
+    # data/native_loader.py — the reference's num_workers=8 equivalent);
     # "device" = whole split resident in HBM, subsample+augment fused
     # into the train-step jit (data/device_pipeline.py) — the fix for
     # hosts that can't feed ~1800 clouds/s of augmented points
-    input_pipeline: str = "host"  # host | device
+    input_pipeline: str = "host"  # host | native | device
     remat: bool = False  # rematerialize the per-point stacks (memory vs FLOPs)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, points) mesh
     mesh_axes: Tuple[str, ...] = ("data", "points")

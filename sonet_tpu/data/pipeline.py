@@ -151,6 +151,11 @@ class BatchLoader:
                 pass
 
     def _make(self, indices, valid) -> Dict[str, np.ndarray]:
+        # datasets may provide whole-batch assembly (the native C++
+        # loader, data/native_loader.py, parallelizes inside the call)
+        mk = getattr(self.dataset, "make_batch", None)
+        if mk is not None:
+            return mk(indices, valid)
         batch = collate([self.dataset[int(i)] for i in indices])
         batch["valid"] = np.asarray(valid, np.int32)
         return batch

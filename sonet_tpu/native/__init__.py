@@ -1,8 +1,14 @@
-"""Native (C++) reference kernels, loaded via ctypes.
+"""Native (C++) runtime components, loaded via ctypes.
 
-Build happens lazily on first use (``g++ -O2 -shared``); see
-segment_max.cpp for semantics.  Used by the test suite to cross-check
-the Pallas / XLA implementations (SURVEY.md §2.2).
+Build happens lazily on first use (``g++ -O2 -shared``).  Two members:
+
+* ``segment_max.cpp`` — reference CPU kernel for cross-checking the
+  Pallas / XLA node-pooling implementations (SURVEY.md §2.2).
+* ``loader.cpp`` — the host input-pipeline worker: npy read + subsample
+  + augmentation for a whole batch in C++ threads, the native equivalent
+  of the reference's ``DataLoader(num_workers=8)`` worker processes
+  (modelnet/train.py:25).  Python surface:
+  ``sonet_tpu.data.native_loader``.
 """
 
 from __future__ import annotations
@@ -15,7 +21,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "segment_max.cpp")
+_SRCS = [os.path.join(_HERE, "segment_max.cpp"),
+         os.path.join(_HERE, "loader.cpp")]
 _LIB = os.path.join(_HERE, "libsonet_native.so")
 _lib: Optional[ctypes.CDLL] = None
 
@@ -23,10 +30,11 @@ _lib: Optional[ctypes.CDLL] = None
 def build(force: bool = False) -> str:
     """Compile the shared library if needed; returns its path."""
     if force or (not os.path.exists(_LIB)
-                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                 or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                                 for s in _SRCS)):
         subprocess.run(
             ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", "-pthread",
-             _SRC, "-o", _LIB],
+             *_SRCS, "-o", _LIB],
             check=True, capture_output=True)
     return _LIB
 
@@ -44,8 +52,55 @@ def _load() -> ctypes.CDLL:
         lib.segment_argmax_cpu_mt.argtypes = [fp, ip, i64, i64, i64, i64,
                                               ip, fp, i64]
         lib.segment_argmax_cpu_mt.restype = None
+        cp = ctypes.POINTER(ctypes.c_char_p)
+        up = ctypes.POINTER(ctypes.c_uint64)
+        ci = ctypes.c_int
+        lib.sonet_load_batch.argtypes = [cp, cp, i64, i64, i64, up, ci,
+                                         ci, ci, ci, i64, fp, fp, fp]
+        lib.sonet_load_batch.restype = ci
+        lib.sonet_loader_error.argtypes = []
+        lib.sonet_loader_error.restype = ctypes.c_char_p
         _lib = lib
     return _lib
+
+
+def load_batch_native(pc_paths, som_paths, item_seeds: np.ndarray,
+                      n_points: int, n_nodes: int, *,
+                      augment: bool = False, rot_horizontal: bool = False,
+                      rot_perturbation: bool = False,
+                      translation_perturbation: bool = False,
+                      num_threads: int = 4
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load + subsample + augment a batch of modelnet-layout items.
+
+    pc_paths: B paths to (N, >=3|6) f32 .npy; som_paths: B paths to
+    (n_nodes, 3) f32 .npy; item_seeds: (B,) uint64, one RNG seed per
+    item.  Returns (pc (B, n_points, 3), sn (B, n_points, 3),
+    node (B, n_nodes, 3)) float32.  Raises RuntimeError on bad files.
+    """
+    lib = _load()
+    B = len(pc_paths)
+    seeds = np.ascontiguousarray(item_seeds, np.uint64)
+    assert seeds.shape == (B,)
+    pc = np.empty((B, n_points, 3), np.float32)
+    sn = np.empty((B, n_points, 3), np.float32)
+    node = np.empty((B, n_nodes, 3), np.float32)
+    enc_pc = (ctypes.c_char_p * B)(*[p.encode() for p in pc_paths])
+    enc_som = (ctypes.c_char_p * B)(*[p.encode() for p in som_paths])
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.sonet_load_batch(
+        ctypes.cast(enc_pc, ctypes.POINTER(ctypes.c_char_p)),
+        ctypes.cast(enc_som, ctypes.POINTER(ctypes.c_char_p)),
+        B, n_points, n_nodes,
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        int(augment), int(rot_horizontal), int(rot_perturbation),
+        int(translation_perturbation), int(num_threads),
+        pc.ctypes.data_as(fp), sn.ctypes.data_as(fp),
+        node.ctypes.data_as(fp))
+    if rc != 0:
+        raise RuntimeError(
+            f"native loader: {lib.sonet_loader_error().decode()}")
+    return pc, sn, node
 
 
 def segment_argmax_native(data: np.ndarray, seg_ids: np.ndarray,

@@ -34,6 +34,12 @@ from .state import TrainState, init_state
 
 def build_dataset(cfg: Config, mode: str):
     """Dataset factory keyed on cfg.dataset."""
+    if cfg.input_pipeline == "native" and cfg.dataset != "modelnet":
+        import warnings
+        warnings.warn(
+            f"--input_pipeline native supports the modelnet npy layout "
+            f"only; dataset {cfg.dataset!r} falls back to the python "
+            f"host pipeline")
     if cfg.dataset == "synthetic":
         from ..data.synthetic import SyntheticDataset
         mult = 16 if mode == "train" else 4
@@ -43,6 +49,9 @@ def build_dataset(cfg: Config, mode: str):
                                                         else 8)),
                                 mode=mode, seed=cfg.seed)
     if cfg.dataset == "modelnet":
+        if cfg.input_pipeline == "native":
+            from ..data.native_loader import NativeModelNetDataset
+            return NativeModelNetDataset(cfg.dataroot, mode, cfg)
         from ..data.modelnet import ModelNetDataset
         return ModelNetDataset(cfg.dataroot, mode, cfg)
     if cfg.dataset == "shrec":
