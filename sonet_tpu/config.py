@@ -118,6 +118,23 @@ class Config:
             json.dump(self.to_dict(), f, indent=2, default=str)
 
 
+def load_config(path: str) -> Config:
+    """Rebuild a Config from a run directory's ``config.json`` (the
+    opt.txt-parity file Trainer persists).  Unknown keys are ignored so
+    configs stay loadable across field additions."""
+    with open(path) as f:
+        d = json.load(f)
+    names = {f.name for f in dataclasses.fields(Config)}
+    d = {k: v for k, v in d.items() if k in names}
+    for k in ("mesh_shape", "mesh_axes"):
+        if k in d and d[k] is not None:
+            d[k] = tuple(d[k])
+    for k in ("bn_momentum_decay_step", "pretrain", "normalization"):
+        if d.get(k) in ("None", "none", ""):
+            d[k] = None
+    return Config(**d)
+
+
 # ---------------------------------------------------------------------------
 # Per-task presets mirroring the reference defaults.
 # ---------------------------------------------------------------------------

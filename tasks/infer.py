@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Batch inference / serving driver (beyond-reference capability).
+
+Loads a finished training run (the directory Trainer writes:
+``config.json`` + ``ckpt/``) and streams a dataset split through the
+compiled eval step, writing per-item predictions and a JSON summary.
+The reference has no inference surface at all beyond the SHREC test
+script (shrec16/test.py); this is the deployment entry point for every
+task family.
+
+    python tasks/infer.py --run checkpoints/modelnet40            # test split
+    python tasks/infer.py --run ... --mode train --batch_size 64
+    python tasks/infer.py --run ... --out preds/                  # artifacts
+    python tasks/infer.py --run ... --checkpoint path/to/ckpt_000123
+
+Outputs in --out (default <run>/infer):
+  * classify/retrieve: ``predictions.csv`` (index,label,pred,correct)
+  * segment:  ``predictions.csv`` (index,label,iou,seg_accuracy) and,
+    with --dump_arrays, per-item predicted part labels ``pred_%06d.npy``
+  * autoencode: ``predictions.csv`` (index,chamfer,fwd,bwd) and, with
+    --dump_arrays, reconstructed clouds ``recon_%06d.npy``
+  * ``summary.json`` — weighted metrics + sustained clouds/s
+"""
+
+import argparse
+import csv
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run", required=True,
+                    help="run directory (config.json + ckpt/)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="explicit checkpoint path (default: latest in run)")
+    ap.add_argument("--mode", default="test")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--dataroot", default=None)
+    ap.add_argument("--dump_arrays", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from sonet_tpu import train
+    from sonet_tpu.config import load_config
+    from sonet_tpu.data.pipeline import BatchLoader
+    from sonet_tpu.models import build_model
+    from sonet_tpu.train.trainer import build_dataset
+
+    cfg = load_config(os.path.join(args.run, "config.json"))
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+    if args.dataroot:
+        cfg = cfg.replace(dataroot=args.dataroot)
+    # inference builds no device data pipeline; plain host loading
+    cfg = cfg.replace(input_pipeline="host")
+    out_dir = args.out or os.path.join(args.run, "infer")
+    os.makedirs(out_dir, exist_ok=True)
+
+    dataset = build_dataset(cfg, args.mode)
+    loader = BatchLoader(dataset, cfg.batch_size, shuffle=False,
+                         drop_last=False, pad_last=True)
+    model = build_model(cfg)
+    batch0 = next(iter(loader))
+    extra = ((jnp.asarray(batch0["label"]),)
+             if cfg.task == "segment" else ())
+    example = (jnp.asarray(batch0["pc"]), jnp.asarray(batch0["sn"]),
+               jnp.asarray(batch0["node"]), *extra)
+    state = train.init_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                             example)
+    ckpt = args.checkpoint or train.latest_checkpoint(
+        os.path.join(args.run, "ckpt"))
+    if ckpt is None:
+        raise SystemExit(f"no checkpoint found under {args.run}/ckpt")
+    state = train.restore_checkpoint(ckpt, state)
+    _, eval_step = train.make_steps(model, cfg, 1)
+
+    rows = []
+    sums, seen = {}, 0
+    t0 = None
+    for batch in loader:
+        valid = int(batch.pop("valid", cfg.batch_size))
+        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        m = eval_step(state, db)
+        m = {k: np.asarray(v) for k, v in m.items()}  # fetch = sync
+        if t0 is None:  # first batch includes compile; start clock after
+            t0 = time.perf_counter()
+            timed = 0
+        else:
+            timed += valid
+        base = seen
+        seen += valid
+        for k, v in m.items():
+            if k.endswith("_i"):
+                sums[k[:-2]] = sums.get(k[:-2], 0.0) + float(v[:valid].sum())
+        if cfg.task in ("classify", "retrieve"):
+            pred = np.argmax(m["score"], -1)
+            for i in range(valid):
+                rows.append([base + i, int(batch["label"][i]), int(pred[i]),
+                             int(pred[i] == batch["label"][i])])
+        elif cfg.task == "segment":
+            pred = np.argmax(m["score"], -1)
+            for i in range(valid):
+                rows.append([base + i, int(batch["label"][i]),
+                             float(m["iou_i"][i]), float(m["correct_i"][i])])
+                if args.dump_arrays:
+                    np.save(os.path.join(out_dir, f"pred_{base+i:06d}.npy"),
+                            pred[i].astype(np.int32))
+        else:  # autoencode
+            for i in range(valid):
+                rows.append([base + i, float(m["loss_i"][i]),
+                             float(m["chamfer_fwd_i"][i]),
+                             float(m["chamfer_bwd_i"][i])])
+                if args.dump_arrays:
+                    np.save(os.path.join(out_dir, f"recon_{base+i:06d}.npy"),
+                            np.asarray(m["predicted_pc"][i], np.float32))
+
+    dt = time.perf_counter() - t0
+    header = {"classify": ["index", "label", "pred", "correct"],
+              "retrieve": ["index", "label", "pred", "correct"],
+              "segment": ["index", "label", "iou", "seg_accuracy"],
+              "autoencode": ["index", "chamfer", "chamfer_fwd",
+                             "chamfer_bwd"]}[cfg.task]
+    with open(os.path.join(out_dir, "predictions.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+
+    summary = {k: v / max(seen, 1) for k, v in sums.items()}
+    name_map = {"correct": "accuracy", "loss": "loss"}
+    summary = {name_map.get(k, k): v for k, v in summary.items()}
+    summary["items"] = seen
+    summary["checkpoint"] = ckpt
+    summary["clouds_per_sec"] = (timed / dt) if dt > 0 and timed else None
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Inference driver (tasks/infer.py) end-to-end: train a tiny run,
+restore it from disk, stream the test split, check artifacts.
+
+The reference has no inference surface beyond shrec16/test.py; this is
+the serving entry point (PARITY.md "beyond the reference")."""
+
+import csv
+import importlib.util
+import json
+import os
+
+import numpy as np
+
+from sonet_tpu.config import tiny_test, load_config
+from sonet_tpu.train.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_infer():
+    spec = importlib.util.spec_from_file_location(
+        "infer_task", os.path.join(REPO, "tasks", "infer.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_infer_classify_roundtrip(tmp_path):
+    cfg = tiny_test().replace(checkpoints_dir=str(tmp_path),
+                              name="infer_run", epochs=2)
+    trainer = Trainer(cfg, quiet=True, resume=False)
+    trainer.fit()
+    run_dir = trainer.out_dir
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+
+    # config roundtrip
+    cfg2 = load_config(os.path.join(run_dir, "config.json"))
+    assert cfg2.task == "classify" and cfg2.node_num == cfg.node_num
+
+    infer = _load_infer()
+    summary = infer.main(["--run", run_dir])
+    assert summary["items"] > 0
+    assert 0.0 <= summary["accuracy"] <= 1.0
+
+    out = os.path.join(run_dir, "infer")
+    with open(os.path.join(out, "predictions.csv")) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["index", "label", "pred", "correct"]
+    assert len(rows) - 1 == summary["items"]
+    # accuracy in summary must equal the csv mean
+    correct = np.mean([int(r[3]) for r in rows[1:]])
+    assert abs(correct - summary["accuracy"]) < 1e-6
+    with open(os.path.join(out, "summary.json")) as f:
+        assert json.load(f)["items"] == summary["items"]
