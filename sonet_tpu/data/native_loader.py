@@ -1,13 +1,15 @@
-"""Native (C++) host input pipeline for the ModelNet npy layout.
+"""Native (C++) host input pipeline for every prepared dataset layout.
 
-``NativeModelNetDataset`` is a drop-in ``ModelNetDataset`` whose batch
+``NativeModelNetDataset`` / ``NativeShrecDataset`` /
+``NativeShapeNetPartDataset`` are drop-in replacements whose batch
 assembly runs in C++ worker threads (``sonet_tpu/native/loader.cpp``):
-npy parse, distinct subsample and the full train augmentation stack
+npy/npz parse, distinct subsample and the train augmentation stack
 execute in one shared-library call with the GIL released — the
 TPU-framework equivalent of the reference's
-``DataLoader(num_workers=8)`` worker *processes* (modelnet/train.py:25).
-The ``BatchLoader`` calls ``make_batch`` instead of per-item
-``__getitem__`` when a dataset provides it.
+``DataLoader(num_workers=8)`` worker *processes* (modelnet/train.py:25,
+part-seg/train.py:23, shrec16/train.py).  The ``BatchLoader`` calls
+``make_batch`` instead of per-item ``__getitem__`` when a dataset
+provides it.
 
 Determinism: item seeds derive from the same (seed, mode, epoch, index)
 tuple as the numpy path (data/seeding.py) via ``SeedSequence``; the C++
@@ -27,8 +29,9 @@ from typing import Dict
 import numpy as np
 
 from ..config import Config
-from .modelnet import ModelNetDataset
+from .modelnet import ModelNetDataset, ShrecDataset
 from .pipeline import Dataset  # noqa: F401  (protocol reference)
+from .shapenet import FOLDERS, ShapeNetPartDataset
 
 
 def native_available() -> bool:
@@ -39,12 +42,10 @@ def native_available() -> bool:
         return False
 
 
-class NativeModelNetDataset(ModelNetDataset):
-    """ModelNet npy dataset with C++ batch assembly (``make_batch``)."""
+class _NativeMixin:
+    """Shared C++-loader plumbing: library handle + per-item seeds."""
 
-    def __init__(self, root: str, mode: str, cfg: Config, *,
-                 num_threads: int | None = None):
-        super().__init__(root, mode, cfg)
+    def _init_native(self, num_threads: int | None) -> None:
         from .. import native
         native.build()  # fail fast if the toolchain is unavailable
         self._native = native
@@ -55,17 +56,29 @@ class NativeModelNetDataset(ModelNetDataset):
             (self._seed, self._mode_id, self._epoch, int(idx)))
         return ss.generate_state(1, np.uint64)[0]
 
+    def _seeds(self, indices) -> np.ndarray:
+        return np.asarray([self.item_seed(int(i)) for i in indices],
+                          np.uint64)
+
+
+class NativeModelNetDataset(_NativeMixin, ModelNetDataset):
+    """ModelNet npy dataset with C++ batch assembly (``make_batch``)."""
+
+    def __init__(self, root: str, mode: str, cfg: Config, *,
+                 num_threads: int | None = None):
+        super().__init__(root, mode, cfg)
+        self._init_native(num_threads)
+
     def make_batch(self, indices, valid: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
-        pc_paths, som_paths, labels, seeds = [], [], [], []
+        pc_paths, som_paths, labels = [], [], []
         for i in indices:
             pc_path, label, som_path = self.items[int(i)]
             pc_paths.append(pc_path)
             som_paths.append(som_path)
             labels.append(label)
-            seeds.append(self.item_seed(int(i)))
         pc, sn, node = self._native.load_batch_native(
-            pc_paths, som_paths, np.asarray(seeds, np.uint64),
+            pc_paths, som_paths, self._seeds(indices),
             cfg.input_pc_num, cfg.node_num,
             augment=(self.mode == "train"),
             rot_horizontal=cfg.rot_horizontal,
@@ -76,3 +89,71 @@ class NativeModelNetDataset(ModelNetDataset):
                  "label": np.asarray(labels, np.int64),
                  "valid": np.asarray(valid, np.int32)}
         return batch
+
+
+class NativeShrecDataset(_NativeMixin, ShrecDataset):
+    """SHREC2016 npz dataset with C++ batch assembly.
+
+    Same layout/augmentation as ``ShrecDataset`` (reference
+    modelnet_shrec_loader.py:67-113, 219-245) with the npz parse,
+    distinct subsample and full train-augment stack in C++ threads."""
+
+    def __init__(self, root: str, mode: str, cfg: Config, *,
+                 num_threads: int | None = None):
+        super().__init__(root, mode, cfg)
+        self._init_native(num_threads)
+
+    def make_batch(self, indices, valid: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        paths, labels, ids = [], [], []
+        for i in indices:
+            npz_path, label, name = self.items[int(i)]
+            paths.append(npz_path)
+            labels.append(label)
+            try:
+                ids.append(int(name))
+            except ValueError:
+                ids.append(int(i))
+        pc, sn, node = self._native.load_npz_batch_native(
+            paths, self._seeds(indices), cfg.input_pc_num, cfg.node_num,
+            augment_mode=(1 if self.mode == "train" else 0),
+            rot_horizontal=cfg.rot_horizontal,
+            rot_perturbation=cfg.rot_perturbation,
+            translation_perturbation=cfg.translation_perturbation,
+            num_threads=self.num_threads)
+        return {"pc": pc, "sn": sn, "node": node,
+                "label": np.asarray(labels, np.int64),
+                "id": np.asarray(ids, np.int64),
+                "valid": np.asarray(valid, np.int32)}
+
+
+class NativeShapeNetPartDataset(_NativeMixin, ShapeNetPartDataset):
+    """ShapeNetPart npz dataset with C++ batch assembly.
+
+    Same layout/augmentation as ``ShapeNetPartDataset`` (reference
+    shapenet_loader.py:131-175: distinct subsample or up-resample with
+    replacement, jitter+scale-only train augmentation) with the per-item
+    work in C++ threads; per-point part labels ride along."""
+
+    def __init__(self, root: str, mode: str, cfg: Config, *,
+                 num_threads: int | None = None):
+        super().__init__(root, mode, cfg)
+        self._init_native(num_threads)
+
+    def make_batch(self, indices, valid: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        rows = cfg.rows
+        paths, labels = [], []
+        for i in indices:
+            file = self.items[int(i)][11:]  # strip 'shape_data/' prefix
+            paths.append(os.path.join(self.root,
+                                      f"{file}_{rows}x{rows}.npz"))
+            labels.append(FOLDERS.index(file[0:8]))
+        pc, sn, node, seg = self._native.load_npz_batch_native(
+            paths, self._seeds(indices), cfg.input_pc_num, cfg.node_num,
+            augment_mode=(2 if self.mode == "train" else 0),
+            with_seg=True, num_threads=self.num_threads)
+        return {"pc": pc, "sn": sn, "node": node,
+                "label": np.asarray(labels, np.int64),
+                "seg": seg.astype(np.int64),
+                "valid": np.asarray(valid, np.int32)}

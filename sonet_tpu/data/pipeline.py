@@ -101,9 +101,20 @@ class BatchLoader:
         stop = threading.Event()
         SENTINEL = object()
 
+        def put_blocking(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         def produce():
             # sliding window: at most (prefetch + num_threads) batches in
-            # flight; a stopped consumer is noticed within the timeout
+            # flight; a stopped consumer is noticed within the timeout.
+            # A worker exception is forwarded to the consumer (wrapped in
+            # a 1-tuple so batch dicts are never confused with errors) —
+            # NOT swallowed into a silently-short epoch.
             with ThreadPoolExecutor(self.num_threads) as ex:
                 window = []
                 it = iter(batches)
@@ -116,13 +127,12 @@ class BatchLoader:
                             window.append(ex.submit(self._make, *nxt))
                         if not window:
                             break
-                        result = window.pop(0).result()
-                        while not stop.is_set():
-                            try:
-                                q.put(result, timeout=0.5)
-                                break
-                            except queue.Full:
-                                continue
+                        try:
+                            result = window.pop(0).result()
+                        except Exception as e:  # noqa: BLE001
+                            put_blocking((e,))
+                            return
+                        put_blocking(result)
                 finally:
                     for f in window:
                         f.cancel()
@@ -139,6 +149,8 @@ class BatchLoader:
                 item = q.get()
                 if item is SENTINEL:
                     break
+                if type(item) is tuple:
+                    raise item[0]
                 produced += 1
                 yield item
         finally:

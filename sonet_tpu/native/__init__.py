@@ -58,6 +58,10 @@ def _load() -> ctypes.CDLL:
         lib.sonet_load_batch.argtypes = [cp, cp, i64, i64, i64, up, ci,
                                          ci, ci, ci, i64, fp, fp, fp]
         lib.sonet_load_batch.restype = ci
+        lib.sonet_load_npz_batch.argtypes = [cp, i64, i64, i64, up, ci,
+                                             ci, ci, ci, ci, i64,
+                                             fp, fp, fp, ip]
+        lib.sonet_load_npz_batch.restype = ci
         lib.sonet_loader_error.argtypes = []
         lib.sonet_loader_error.restype = ctypes.c_char_p
         _lib = lib
@@ -125,6 +129,48 @@ def segment_argmax_native(data: np.ndarray, seg_ids: np.ndarray,
     else:
         lib.segment_argmax_cpu(*args)
     return out_val, out_idx
+
+
+def load_npz_batch_native(paths, item_seeds: np.ndarray, n_points: int,
+                          n_nodes: int, *, augment_mode: int = 0,
+                          rot_horizontal: bool = False,
+                          rot_perturbation: bool = False,
+                          translation_perturbation: bool = False,
+                          with_seg: bool = False, num_threads: int = 4):
+    """Load + resample + augment a batch of npz-layout items
+    (SHREC {pc, sn, som_node}; ShapeNetPart adds part_label).
+
+    augment_mode: 0 = none, 1 = full modelnet/shrec stack,
+    2 = shapenet jitter+scale.  Returns (pc, sn, node[, seg]) with seg
+    int32 (B, n_points) when with_seg.  np.savez (stored) members only —
+    savez_compressed raises with a clear message.
+    """
+    lib = _load()
+    B = len(paths)
+    seeds = np.ascontiguousarray(item_seeds, np.uint64)
+    assert seeds.shape == (B,)
+    pc = np.empty((B, n_points, 3), np.float32)
+    sn = np.empty((B, n_points, 3), np.float32)
+    node = np.empty((B, n_nodes, 3), np.float32)
+    seg = np.empty((B, n_points), np.int32) if with_seg else \
+        np.empty((1, 1), np.int32)
+    enc = (ctypes.c_char_p * B)(*[p.encode() for p in paths])
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.sonet_load_npz_batch(
+        ctypes.cast(enc, ctypes.POINTER(ctypes.c_char_p)),
+        B, n_points, n_nodes,
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        int(augment_mode), int(rot_horizontal), int(rot_perturbation),
+        int(translation_perturbation), int(with_seg), int(num_threads),
+        pc.ctypes.data_as(fp), sn.ctypes.data_as(fp),
+        node.ctypes.data_as(fp), seg.ctypes.data_as(ip))
+    if rc != 0:
+        raise RuntimeError(
+            f"native loader: {lib.sonet_loader_error().decode()}")
+    if with_seg:
+        return pc, sn, node, seg
+    return pc, sn, node
 
 
 def available() -> bool:

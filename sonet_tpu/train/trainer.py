@@ -34,12 +34,13 @@ from .state import TrainState, init_state
 
 def build_dataset(cfg: Config, mode: str):
     """Dataset factory keyed on cfg.dataset."""
-    if cfg.input_pipeline == "native" and cfg.dataset != "modelnet":
+    if cfg.input_pipeline == "native" and cfg.dataset not in (
+            "modelnet", "shrec", "shapenet"):
         import warnings
         warnings.warn(
-            f"--input_pipeline native supports the modelnet npy layout "
-            f"only; dataset {cfg.dataset!r} falls back to the python "
-            f"host pipeline")
+            f"--input_pipeline native supports the modelnet/shrec/"
+            f"shapenet prepared layouts; dataset {cfg.dataset!r} falls "
+            f"back to the python host pipeline")
     if cfg.dataset == "synthetic":
         from ..data.synthetic import SyntheticDataset
         mult = 16 if mode == "train" else 4
@@ -55,9 +56,15 @@ def build_dataset(cfg: Config, mode: str):
         from ..data.modelnet import ModelNetDataset
         return ModelNetDataset(cfg.dataroot, mode, cfg)
     if cfg.dataset == "shrec":
+        if cfg.input_pipeline == "native":
+            from ..data.native_loader import NativeShrecDataset
+            return NativeShrecDataset(cfg.dataroot, mode, cfg)
         from ..data.modelnet import ShrecDataset
         return ShrecDataset(cfg.dataroot, mode, cfg)
     if cfg.dataset == "shapenet":
+        if cfg.input_pipeline == "native":
+            from ..data.native_loader import NativeShapeNetPartDataset
+            return NativeShapeNetPartDataset(cfg.dataroot, mode, cfg)
         from ..data.shapenet import ShapeNetPartDataset
         return ShapeNetPartDataset(cfg.dataroot, mode, cfg)
     if cfg.dataset == "mnist":
