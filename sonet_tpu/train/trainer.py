@@ -339,6 +339,7 @@ class Trainer:
             visualize_every: int = 0) -> Dict[str, float]:
         epochs = epochs if epochs is not None else self.cfg.epochs
         test_metrics: Dict[str, float] = {}
+        ckpt_bucket = 0  # last step // checkpoint_every already saved
         for epoch in range(epochs):
             tr = self.train_epoch(epoch)
             viz = visualize_every > 0 and epoch % visualize_every == 0
@@ -347,4 +348,15 @@ class Trainer:
                             prefix="test_")
             self.maybe_checkpoint(epoch, test_metrics,
                                   threshold=save_threshold)
+            # --checkpoint_every N: ungated periodic saves every N steps,
+            # checked at epoch boundaries (with the epoch-scan pipeline
+            # the host only holds state between epochs) — in addition to
+            # the reference-style metric-gated saves above
+            if self.cfg.checkpoint_every > 0:
+                bucket = int(self.state.step) // self.cfg.checkpoint_every
+                if bucket > ckpt_bucket:
+                    ckpt_bucket = bucket
+                    checkpoints.save_checkpoint(
+                        os.path.join(self.out_dir, "ckpt"), self.state,
+                        int(self.state.step))
         return test_metrics

@@ -12,6 +12,9 @@ task family.
     python tasks/infer.py --run ... --mode train --batch_size 64
     python tasks/infer.py --run ... --out preds/                  # artifacts
     python tasks/infer.py --run ... --checkpoint path/to/ckpt_000123
+    python tasks/infer.py --run ... --mesh_shape 4,2 --batch_size 64
+        # serve over a device mesh: batch sharded over 'data', points
+        # over 'points', state replicated (XLA inserts the collectives)
 
 Outputs in --out (default <run>/infer):
   * classify/retrieve: ``predictions.csv`` (index,label,pred,correct)
@@ -45,6 +48,9 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--dataroot", default=None)
     ap.add_argument("--dump_arrays", action="store_true")
+    ap.add_argument("--mesh_shape", default=None,
+                    help="serve over a device mesh, e.g. '4,2' or '8' "
+                         "(data[,points] axes; batch/points must divide)")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,6 +69,28 @@ def main(argv=None):
         cfg = cfg.replace(dataroot=args.dataroot)
     # inference builds no device data pipeline; plain host loading
     cfg = cfg.replace(input_pipeline="host")
+
+    # the serving mesh comes from THIS machine's CLI, not the training
+    # run's config (a run trained on 1 chip can serve on 8)
+    mesh = None
+    if args.mesh_shape:
+        from sonet_tpu.parallel import make_mesh, replicate, shard_batch
+        shape = tuple(int(t) for t in
+                      args.mesh_shape.replace("x", ",").split(",") if t)
+        shape += (1,) * (2 - len(shape))
+        mesh = make_mesh(shape, ("data", "points"))
+        # keep cfg consistent so pooling resolution sees the mesh
+        # (the Pallas kernel has no partitioning rules)
+        cfg = cfg.replace(mesh_shape=shape,
+                          mesh_axes=("data", "points"))
+        if cfg.batch_size % shape[0]:
+            raise SystemExit(f"batch_size {cfg.batch_size} must divide "
+                             f"over the data axis ({shape[0]})")
+        if cfg.input_pc_num % shape[1]:
+            raise SystemExit(f"input_pc_num {cfg.input_pc_num} must "
+                             f"divide over the points axis ({shape[1]})")
+    else:
+        cfg = cfg.replace(mesh_shape=(1, 1))
     out_dir = args.out or os.path.join(args.run, "infer")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -82,6 +110,8 @@ def main(argv=None):
     if ckpt is None:
         raise SystemExit(f"no checkpoint found under {args.run}/ckpt")
     state = train.restore_checkpoint(ckpt, state)
+    if mesh is not None:
+        state = replicate(state, mesh)
     _, eval_step = train.make_steps(model, cfg, 1)
 
     rows = []
@@ -89,7 +119,10 @@ def main(argv=None):
     t0 = None
     for batch in loader:
         valid = int(batch.pop("valid", cfg.batch_size))
-        db = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            db = shard_batch(batch, mesh)
+        else:
+            db = {k: jnp.asarray(v) for k, v in batch.items()}
         m = eval_step(state, db)
         m = {k: np.asarray(v) for k, v in m.items()}  # fetch = sync
         if t0 is None:  # first batch includes compile; start clock after

@@ -52,3 +52,26 @@ def test_infer_classify_roundtrip(tmp_path):
     assert abs(correct - summary["accuracy"]) < 1e-6
     with open(os.path.join(out, "summary.json")) as f:
         assert json.load(f)["items"] == summary["items"]
+
+    # --- mesh-sharded serving: same run, 4x2 device mesh, identical
+    # per-item predictions (state replicated, batch sharded) ----------
+    summary_mesh = infer.main(["--run", run_dir, "--mesh_shape", "4,2",
+                               "--out", str(tmp_path / "infer_mesh")])
+    assert summary_mesh["items"] == summary["items"]
+    with open(tmp_path / "infer_mesh" / "predictions.csv") as f:
+        rows_mesh = list(csv.reader(f))
+    # argmax predictions are integer-stable under resharding
+    assert [r[2] for r in rows_mesh[1:]] == [r[2] for r in rows[1:]]
+    assert abs(summary_mesh["accuracy"] - summary["accuracy"]) < 1e-6
+
+
+def test_infer_mesh_divisibility_errors(tmp_path):
+    import pytest
+    cfg = tiny_test().replace(checkpoints_dir=str(tmp_path),
+                              name="infer_div", epochs=1)
+    trainer = Trainer(cfg, quiet=True, resume=False)
+    trainer.fit()
+    infer = _load_infer()
+    with pytest.raises(SystemExit, match="batch_size"):
+        # valid 8-device mesh, but batch 4 does not divide over data=8
+        infer.main(["--run", trainer.out_dir, "--mesh_shape", "8,1"])

@@ -1,6 +1,8 @@
 """End-to-end integration tests (SURVEY.md §4c): real train loops on
 synthetic data, small enough for the CPU test box."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -107,6 +109,19 @@ class TestAutoencodeE2E:
 
 
 class TestCheckpoint:
+    def test_checkpoint_every_periodic_saves(self, tmp_path):
+        """--checkpoint_every N must save ungated every N steps (the flag
+        was dead config: declared but never honored by Trainer.fit)."""
+        from sonet_tpu.train.trainer import Trainer
+        cfg = cfg_mod.tiny_test().replace(
+            checkpoints_dir=str(tmp_path), name="periodic", epochs=2,
+            checkpoint_every=1)
+        t = Trainer(cfg, quiet=True, resume=False)
+        # an impossible metric gate: only the periodic path may save
+        t.fit(save_threshold=2.0)
+        ckpt_dir = os.path.join(t.out_dir, "ckpt")
+        assert train.latest_checkpoint(ckpt_dir) is not None
+
     def test_save_restore_roundtrip(self, tmp_path):
         cfg = cfg_mod.tiny_test()
         state, model, _, eval_step, loader, *_ = _train_some(cfg, steps=2)
