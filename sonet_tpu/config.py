@@ -44,7 +44,9 @@ class Config:
     som_k_type: str = "avg"  # avg | center
 
     # ---- autoencoder decoder ---------------------------------------------
-    output_pc_num: int = 1280
+    # 0 = derived (fc + selected conv output); set explicitly (reference
+    # default 1280) and the Decoder validates consistency at trace time
+    output_pc_num: int = 0
     output_fc_pc_num: int = 256
     output_conv_pc_num: int = 1024
 

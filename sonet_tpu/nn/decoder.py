@@ -131,6 +131,18 @@ class Decoder(nn.Module):
     def __call__(self, feature: jax.Array, *, train: bool = False,
                  epoch: jax.Array | None = None) -> DecoderOutput:
         cfg = self.cfg
+        # the reference sizes buffers by opt.output_pc_num
+        # (autoencoder.py); here the output is derived from the two
+        # branch sizes — reject inconsistent configs instead of
+        # silently ignoring the flag
+        conv_out_num = cfg.output_conv_pc_num \
+            if cfg.output_conv_pc_num in (1024, 4096) else 0
+        derived = cfg.output_fc_pc_num + conv_out_num
+        if cfg.output_pc_num > 0 and cfg.output_pc_num != derived:
+            raise ValueError(
+                f"output_pc_num={cfg.output_pc_num} inconsistent with "
+                f"output_fc_pc_num={cfg.output_fc_pc_num} + selected "
+                f"conv output {conv_out_num} (= {derived})")
         linear_pc = None
         if cfg.output_fc_pc_num > 0:
             linear_pc = DecoderLinear(cfg, name="fc_decoder")(

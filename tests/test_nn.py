@@ -291,6 +291,19 @@ class TestDecoder:
         assert out.conv_pc5.shape == (2, 1024, 3)
         assert out.conv_pc6.shape == (2, 4096, 3)
 
+    def test_output_pc_num_validated(self):
+        """An explicit --output_pc_num (reference autoencoder.py buffer
+        size) must agree with fc + selected conv output; 0 = derived."""
+        import pytest
+        cfg = tiny().replace(output_fc_pc_num=16, output_conv_pc_num=1024,
+                             feature_num=64, output_pc_num=1280)
+        dec = snn.Decoder(cfg)
+        f = jnp.zeros((2, 64), jnp.float32)
+        with pytest.raises(ValueError, match="output_pc_num"):
+            dec.init(jax.random.PRNGKey(0), f, train=False)
+        ok = cfg.replace(output_pc_num=16 + 1024)
+        snn.Decoder(ok).init(jax.random.PRNGKey(0), f, train=False)
+
     def test_fc_only(self):
         cfg = tiny().replace(output_fc_pc_num=16, output_conv_pc_num=0,
                              feature_num=64)
