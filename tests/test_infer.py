@@ -65,6 +65,25 @@ def test_infer_classify_roundtrip(tmp_path):
     assert abs(summary_mesh["accuracy"] - summary["accuracy"]) < 1e-6
 
 
+def test_infer_mesh_segment_and_autoencode(tmp_path):
+    """Mesh-sharded serving must cover every task family, not just
+    classify: per-item metrics identical to single-device."""
+    infer = _load_infer()
+    for task, key in (("segment", "iou"), ("autoencode", "loss")):
+        cfg = tiny_test().replace(
+            checkpoints_dir=str(tmp_path), name=f"infer_{task}",
+            task=task, classes=50 if task == "segment" else 4,
+            epochs=1, checkpoint_every=1)
+        trainer = Trainer(cfg, quiet=True, resume=False)
+        trainer.fit()
+        s1 = infer.main(["--run", trainer.out_dir,
+                         "--out", str(tmp_path / f"{task}_single")])
+        s2 = infer.main(["--run", trainer.out_dir, "--mesh_shape", "4,2",
+                         "--out", str(tmp_path / f"{task}_mesh")])
+        assert s1["items"] == s2["items"] > 0
+        assert abs(s1[key] - s2[key]) < 1e-4, (task, s1, s2)
+
+
 def test_infer_mesh_divisibility_errors(tmp_path):
     import pytest
     cfg = tiny_test().replace(checkpoints_dir=str(tmp_path),
