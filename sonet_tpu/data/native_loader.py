@@ -31,7 +31,7 @@ import numpy as np
 from ..config import Config
 from .modelnet import ModelNetDataset, ShrecDataset
 from .pipeline import Dataset  # noqa: F401  (protocol reference)
-from .shapenet import FOLDERS, ShapeNetPartDataset
+from .shapenet import ShapeNetPartDataset
 
 
 def native_available() -> bool:
@@ -142,13 +142,11 @@ class NativeShapeNetPartDataset(_NativeMixin, ShapeNetPartDataset):
 
     def make_batch(self, indices, valid: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
-        rows = cfg.rows
         paths, labels = [], []
         for i in indices:
-            file = self.items[int(i)][11:]  # strip 'shape_data/' prefix
-            paths.append(os.path.join(self.root,
-                                      f"{file}_{rows}x{rows}.npz"))
-            labels.append(FOLDERS.index(file[0:8]))
+            path, label = self.item_path_label(int(i))
+            paths.append(path)
+            labels.append(label)
         pc, sn, node, seg = self._native.load_npz_batch_native(
             paths, self._seeds(indices), cfg.input_pc_num, cfg.node_num,
             augment_mode=(2 if self.mode == "train" else 0),

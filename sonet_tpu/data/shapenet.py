@@ -57,6 +57,18 @@ class ShapeNetPartDataset(EpochSeeded):
     def __len__(self):
         return len(self.items)
 
+    def item_path_label(self, idx: int):
+        """(npz path, category label) for a split entry.
+
+        The single place that knows the prepared-file naming: entries
+        look like 'shape_data/02691156/xxxx' (strip the prefix), files
+        are '<name>_<rows>x<rows>.npz', the 8-char folder id is the
+        category (shapenet_loader.py:31-43, 117-120)."""
+        file = self.items[idx][11:]
+        rows = self.cfg.rows
+        path = os.path.join(self.root, f"{file}_{rows}x{rows}.npz")
+        return path, FOLDERS.index(file[0:8])
+
     def raw_item(self, idx: int) -> Dict[str, np.ndarray]:
         """Un-augmented fixed-size item for the device-resident pipeline.
 
@@ -67,14 +79,11 @@ class ShapeNetPartDataset(EpochSeeded):
         the raw size (the common prepared-dataset case) this is a pure
         load."""
         cfg = self.cfg
-        file = self.items[idx][11:]
-        rows = cfg.rows
-        data = np.load(os.path.join(self.root,
-                                    f"{file}_{rows}x{rows}.npz"))
+        path, label = self.item_path_label(idx)
+        data = np.load(path)
         pc, sn = data["pc"], data["sn"]
         seg = data["part_label"]
         node = data["som_node"]
-        label = FOLDERS.index(file[0:8])
         R = 2 * cfg.input_pc_num
         n = pc.shape[0]
         if n != R:
@@ -92,15 +101,11 @@ class ShapeNetPartDataset(EpochSeeded):
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         rng = self.item_rng(idx)
-        # entries look like 'shape_data/02691156/xxxx' -> strip prefix
-        file = self.items[idx][11:]
-        rows = cfg.rows
-        data = np.load(os.path.join(self.root,
-                                    f"{file}_{rows}x{rows}.npz"))
+        path, label = self.item_path_label(idx)
+        data = np.load(path)
         pc, sn = data["pc"], data["sn"]
         seg = data["part_label"]
         node = data["som_node"]
-        label = FOLDERS.index(file[0:8])
 
         n = cfg.input_pc_num
         if n < pc.shape[0]:

@@ -458,12 +458,16 @@ bool load_one_npz(const NpzArgs& a, int64_t i, std::string* err) {
   if (!npz_member(ms, "som_node", &somv, err)) return false;
   if (a.with_seg && !npz_member(ms, "part_label", &segv, err)) return false;
   if (pcv.cols != 3 || !pcv.is_float || snv.rows != pcv.rows ||
-      snv.cols != 3) {
-    *err = std::string("npz pc/sn shape mismatch: ") + a.paths[i];
+      snv.cols != 3 || !snv.is_float) {
+    *err = std::string("npz pc/sn shape/dtype mismatch: ") + a.paths[i];
     return false;
   }
-  if (somv.rows != a.n_nodes || somv.cols != 3) {
-    *err = std::string("npz som_node shape mismatch: ") + a.paths[i];
+  if (pcv.rows == 0) {
+    *err = std::string("npz pc member is empty: ") + a.paths[i];
+    return false;
+  }
+  if (somv.rows != a.n_nodes || somv.cols != 3 || !somv.is_float) {
+    *err = std::string("npz som_node shape/dtype mismatch: ") + a.paths[i];
     return false;
   }
   if (a.with_seg && segv.rows != pcv.rows) {

@@ -346,8 +346,8 @@ class Trainer:
             test_metrics = self.evaluate(visualize=viz)
             self.logger.log(int(self.state.step), test_metrics, epoch=epoch,
                             prefix="test_")
-            self.maybe_checkpoint(epoch, test_metrics,
-                                  threshold=save_threshold)
+            saved = self.maybe_checkpoint(epoch, test_metrics,
+                                          threshold=save_threshold)
             # --checkpoint_every N: ungated periodic saves every N steps,
             # checked at epoch boundaries (with the epoch-scan pipeline
             # the host only holds state between epochs) — in addition to
@@ -356,7 +356,8 @@ class Trainer:
                 bucket = int(self.state.step) // self.cfg.checkpoint_every
                 if bucket > ckpt_bucket:
                     ckpt_bucket = bucket
-                    checkpoints.save_checkpoint(
-                        os.path.join(self.out_dir, "ckpt"), self.state,
-                        int(self.state.step))
+                    if saved is None:  # gated save already wrote this step
+                        checkpoints.save_checkpoint(
+                            os.path.join(self.out_dir, "ckpt"), self.state,
+                            int(self.state.step))
         return test_metrics

@@ -77,6 +77,9 @@ def main(argv=None):
         from sonet_tpu.parallel import make_mesh, replicate, shard_batch
         shape = tuple(int(t) for t in
                       args.mesh_shape.replace("x", ",").split(",") if t)
+        if not 1 <= len(shape) <= 2 or any(s < 1 for s in shape):
+            raise SystemExit(f"--mesh_shape {args.mesh_shape!r}: want "
+                             f"'data' or 'data,points' positive ints")
         shape += (1,) * (2 - len(shape))
         mesh = make_mesh(shape, ("data", "points"))
         # keep cfg consistent so pooling resolution sees the mesh

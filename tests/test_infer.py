@@ -94,3 +94,7 @@ def test_infer_mesh_divisibility_errors(tmp_path):
     with pytest.raises(SystemExit, match="batch_size"):
         # valid 8-device mesh, but batch 4 does not divide over data=8
         infer.main(["--run", trainer.out_dir, "--mesh_shape", "8,1"])
+    with pytest.raises(SystemExit, match="mesh_shape"):
+        infer.main(["--run", trainer.out_dir, "--mesh_shape", "4,2,1"])
+    with pytest.raises(SystemExit, match="mesh_shape"):
+        infer.main(["--run", trainer.out_dir, "--mesh_shape", "0,8"])
