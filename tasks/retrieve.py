@@ -6,6 +6,7 @@
 """
 
 import argparse
+import math
 import os
 import sys
 
@@ -29,6 +30,19 @@ def main(argv=None):
     known, rest = out_pre.parse_known_args(argv)
     cfg = parse_args(rest, preset="shrec16")
 
+    # --mesh_shape D[,P]: shard the evaluation over a device mesh
+    # (state replicated, batches data/points-sharded) like tasks/infer.py
+    mesh = None
+    if math.prod(cfg.mesh_shape) > 1:
+        from sonet_tpu.parallel import make_mesh, replicate, shard_batch
+        shape = tuple(cfg.mesh_shape)
+        shape += (1,) * (len(cfg.mesh_axes) - len(shape))
+        mesh = make_mesh(shape, cfg.mesh_axes)
+        cfg = cfg.replace(mesh_shape=shape)
+        if cfg.batch_size % shape[0] or cfg.input_pc_num % shape[1]:
+            raise SystemExit(f"batch_size/input_pc_num must divide over "
+                             f"mesh {shape}")
+
     model = build_model(cfg)
     test_set = build_dataset(cfg, "test")
     loader = BatchLoader(test_set, cfg.batch_size, shuffle=False,
@@ -40,10 +54,15 @@ def main(argv=None):
                              example)
     if known.checkpoint:
         state = train.restore_checkpoint(known.checkpoint, state)
+    if mesh is not None:
+        state = replicate(state, mesh)
     _, eval_step = train.make_steps(model, cfg, 1)
 
     def device_batch(b):
-        return {k: jnp.asarray(v) for k, v in b.items() if k != "valid"}
+        b = {k: v for k, v in b.items() if k != "valid"}
+        if mesh is not None:
+            return shard_batch(b, mesh)
+        return {k: jnp.asarray(v) for k, v in b.items()}
 
     scores, labels, ids = retrieval.extract_scores(eval_step, state, loader,
                                                    device_batch)

@@ -91,3 +91,32 @@ class TestRankAll:
         content = open(path).read()
         assert "query 100" in content
         assert os.path.getsize(tmp_path / "q0_query.png") > 500
+
+
+class TestRetrieveDriverMesh:
+    def test_driver_mesh_matches_single(self, tmp_path):
+        """tasks/retrieve.py --mesh_shape must produce the same metrics
+        and rank files as single-device (state replicated, batches
+        data/points-sharded)."""
+        import importlib.util
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "retrieve_task", os.path.join(repo, "tasks", "retrieve.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        tiny = ["--dataset", "synthetic", "--classes", "4",
+                "--batch_size", "4", "--input_pc_num", "64",
+                "--node_num", "16", "--k", "2", "--som_k", "4",
+                "--feature_num", "64", "--compute_dtype", "float32",
+                "--epochs", "1"]
+        m1 = mod.main(["--output_dir", str(tmp_path / "single")] + tiny)
+        m2 = mod.main(["--output_dir", str(tmp_path / "mesh"),
+                       "--mesh_shape", "4,2"] + tiny)
+        for k in m1:
+            assert abs(m1[k] - m2[k]) < 1e-4, (k, m1, m2)
+        # same rank files byte-for-byte
+        f1 = sorted(os.listdir(tmp_path / "single"))
+        f2 = sorted(os.listdir(tmp_path / "mesh"))
+        assert [f for f in f1 if f.endswith(".txt")] == \
+               [f for f in f2 if f.endswith(".txt")]
