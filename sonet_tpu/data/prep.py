@@ -55,14 +55,34 @@ def cmd_som(args) -> None:
     cfg = SOMConfig(rows=rows, cols=rows, dim=3, schedule=args.schedule)
     rng = np.random.default_rng(args.seed)
 
+    # --mesh_shape D: per-cloud fits are independent, so the batch axis
+    # shards over a data mesh and XLA partitions the whole fit scan
+    mesh = None
+    if getattr(args, "mesh_shape", 0) and args.mesh_shape > 1:
+        from ..parallel import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = make_mesh((args.mesh_shape,), ("data",))
+        if args.batch % args.mesh_shape:
+            print(f"--batch {args.batch} must divide over "
+                  f"--mesh_shape {args.mesh_shape}", file=sys.stderr)
+            sys.exit(1)
+        batch_sharding = NamedSharding(mesh, P("data"))
+
     batch, paths = [], []
 
     def flush():
         if not batch:
             return
-        nodes = np.asarray(som_fit(jnp.asarray(np.stack(batch)), cfg))
+        stacked = np.stack(batch)
+        if mesh is not None and len(stacked) % args.mesh_shape == 0:
+            import jax
+            dev = jax.device_put(stacked, batch_sharding)
+        else:  # final remainder batch runs unsharded
+            dev = jnp.asarray(stacked)
+        nodes = np.asarray(som_fit(dev, cfg))
         for p, node in zip(paths, nodes):
-            _write_som(args.root, p, node.astype(np.float32), rows)
+            _write_som(args.root, p,
+                       np.ascontiguousarray(node, np.float32), rows)
         batch.clear()
         paths.clear()
 
@@ -130,6 +150,8 @@ def main(argv=None) -> None:
     pm.add_argument("--rows", type=int, default=8)
     pm.add_argument("--som_sample", type=int, default=4096)
     pm.add_argument("--batch", type=int, default=64)
+    pm.add_argument("--mesh_shape", type=int, default=0,
+                    help="shard the fit batch over N devices (0 = off)")
     pm.add_argument("--schedule", default="prep",
                     choices=("prep", "online"))
     pm.add_argument("--seed", type=int, default=0)

@@ -200,6 +200,32 @@ class TestPrepCLI:
         assert data["som_node"].shape == (16, 3)
         assert np.isfinite(data["som_node"]).all()
 
+    def test_som_mesh_sharded_matches_single(self, tmp_path):
+        """prep som --mesh_shape N: data-parallel fit over an N-device
+        mesh produces the same nodes as unsharded (per-cloud fits are
+        independent; C-order files either way)."""
+        from sonet_tpu.data import prep
+        rng = np.random.default_rng(1)
+        roots = []
+        for tag in ("single", "mesh"):
+            root = tmp_path / tag
+            os.makedirs(root)
+            r = np.random.default_rng(7)  # same clouds in both trees
+            for i in range(8):
+                np.savez(root / f"s{i}.npz",
+                         pc=r.standard_normal((200, 3)).astype(np.float32),
+                         sn=r.standard_normal((200, 3)).astype(np.float32))
+            roots.append(root)
+        common = ["--rows", "4", "--som_sample", "128", "--batch", "8"]
+        prep.main(["som", "--root", str(roots[0])] + common)
+        prep.main(["som", "--root", str(roots[1]), "--mesh_shape", "8"]
+                  + common)
+        for i in range(8):
+            a = np.load(roots[0] / f"s{i}.npz")["som_node"]
+            b = np.load(roots[1] / f"s{i}.npz")["som_node"]
+            np.testing.assert_allclose(a, b, atol=2e-5)
+            assert b.flags["C_CONTIGUOUS"]
+
     def test_sample_subcommand(self, tmp_path):
         from sonet_tpu.data import prep
         mesh_dir = tmp_path / "meshes"
