@@ -317,6 +317,38 @@ def test_worker_error_propagates(root, cfg):
         list(loader)
 
 
+def test_truncated_npz_clean_errors(tmp_path):
+    """Every truncation of a valid npz must raise RuntimeError through
+    the loader's error path — never crash or return garbage."""
+    from sonet_tpu import native
+    rs = np.random.RandomState(5)
+    p = tmp_path / "ok.npz"
+    np.savez(p, pc=rs.randn(60, 3).astype(np.float32),
+             sn=rs.randn(60, 3).astype(np.float32),
+             som_node=rs.randn(M, 3).astype(np.float32))
+    blob = p.read_bytes()
+    seeds = np.zeros(1, np.uint64)
+    # full file parses
+    native.load_npz_batch_native([str(p)], seeds, 50, M)
+    bad = tmp_path / "bad.npz"
+    for frac in (0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+        bad.write_bytes(blob[:int(len(blob) * frac)])
+        with pytest.raises(RuntimeError):
+            native.load_npz_batch_native([str(bad)], seeds, 50, M)
+    # int-typed sn member: clean dtype error, not an OOB read
+    np.savez(bad, pc=rs.randn(60, 3).astype(np.float32),
+             sn=rs.randint(0, 5, (60, 3)).astype(np.int32),
+             som_node=rs.randn(M, 3).astype(np.float32))
+    with pytest.raises(RuntimeError, match="dtype|shape"):
+        native.load_npz_batch_native([str(bad)], seeds, 50, M)
+    # empty pc member: clean error, not uniform_int_distribution UB
+    np.savez(bad, pc=np.zeros((0, 3), np.float32),
+             sn=np.zeros((0, 3), np.float32),
+             som_node=rs.randn(M, 3).astype(np.float32))
+    with pytest.raises(RuntimeError, match="empty"):
+        native.load_npz_batch_native([str(bad)], seeds, 50, M)
+
+
 def test_savez_compressed_rejected(tmp_path):
     from sonet_tpu import native
     p = tmp_path / "c.npz"
