@@ -51,6 +51,11 @@ def main(argv=None):
     ap.add_argument("--mesh_shape", default=None,
                     help="serve over a device mesh, e.g. '4,2' or '8' "
                          "(data[,points] axes; batch/points must divide)")
+    ap.add_argument("--scan_chunk", type=int, default=16,
+                    help="batches per dispatch: chunks of N batches run "
+                         "as one lax.scan program (remote hosts pay one "
+                         "round-trip per DISPATCH, ~30 ms on a tunnel); "
+                         "1 = dispatch every batch")
     args = ap.parse_args(argv)
 
     import jax
@@ -74,7 +79,7 @@ def main(argv=None):
     # run's config (a run trained on 1 chip can serve on 8)
     mesh = None
     if args.mesh_shape:
-        from sonet_tpu.parallel import make_mesh, replicate, shard_batch
+        from sonet_tpu.parallel import make_mesh, replicate
         shape = tuple(int(t) for t in
                       args.mesh_shape.replace("x", ",").split(",") if t)
         if not 1 <= len(shape) <= 2 or any(s < 1 for s in shape):
@@ -117,22 +122,39 @@ def main(argv=None):
         state = replicate(state, mesh)
     _, eval_step = train.make_steps(model, cfg, 1)
 
+    # chunked evaluation: K batches run as ONE lax.scan program so a
+    # remote host pays one dispatch round-trip per chunk, not per batch
+    # (tools/perf_latency.py: ~30 ms/dispatch through a tunnel vs
+    # 1.7 ms/batch device time)
+    # cap the chunk so small splits still produce >= 2 dispatches (the
+    # first chunk is the compile warm-up and is excluded from timing)
+    K = max(1, min(args.scan_chunk, (len(loader) + 1) // 2))
+
+    @jax.jit
+    def scan_eval(st, stacked):
+        def body(c, b):
+            return c, eval_step(st, b)
+        _, ms = jax.lax.scan(body, None, stacked)
+        return ms  # metric dict with a leading (K,) axis
+
+    def put_stacked(stacked):
+        if mesh is None:
+            return {k: jnp.asarray(v) for k, v in stacked.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sonet_tpu.parallel import batch_specs
+        specs = batch_specs()
+        return {k: jax.device_put(
+                    v, NamedSharding(mesh, P(None, *specs.get(k, P()))))
+                for k, v in stacked.items()}
+
     rows = []
     sums, seen = {}, 0
     t0 = None
-    for batch in loader:
-        valid = int(batch.pop("valid", cfg.batch_size))
-        if mesh is not None:
-            db = shard_batch(batch, mesh)
-        else:
-            db = {k: jnp.asarray(v) for k, v in batch.items()}
-        m = eval_step(state, db)
-        m = {k: np.asarray(v) for k, v in m.items()}  # fetch = sync
-        if t0 is None:  # first batch includes compile; start clock after
-            t0 = time.perf_counter()
-            timed = 0
-        else:
-            timed += valid
+    timed = 0
+
+    def process(batch, m, valid):
+        """Per-batch bookkeeping on fetched (host) metrics."""
+        nonlocal seen
         base = seen
         seen += valid
         for k, v in m.items():
@@ -159,6 +181,36 @@ def main(argv=None):
                 if args.dump_arrays:
                     np.save(os.path.join(out_dir, f"recon_{base+i:06d}.npy"),
                             np.asarray(m["predicted_pc"][i], np.float32))
+
+    pending, valids = [], []
+
+    def flush():
+        nonlocal t0, timed
+        if not pending:
+            return
+        if len(pending) == 1:
+            db = put_stacked({k: v[None] for k, v in pending[0].items()})
+            ms = scan_eval(state, db)
+        else:
+            db = put_stacked({k: np.stack([b[k] for b in pending])
+                              for k in pending[0]})
+            ms = scan_eval(state, db)
+        ms = {k: np.asarray(v) for k, v in ms.items()}  # fetch = sync
+        if t0 is None:  # first chunk includes compile; clock starts after
+            t0 = time.perf_counter()
+        else:
+            timed += sum(valids)
+        for j, (b, valid) in enumerate(zip(pending, valids)):
+            process(b, {k: v[j] for k, v in ms.items()}, valid)
+        pending.clear()
+        valids.clear()
+
+    for batch in loader:
+        valids.append(int(batch.pop("valid", cfg.batch_size)))
+        pending.append(batch)
+        if len(pending) == K:
+            flush()
+    flush()
 
     dt = time.perf_counter() - t0
     header = {"classify": ["index", "label", "pred", "correct"],
