@@ -43,7 +43,10 @@ def main(argv=None):
                     help="run directory (config.json + ckpt/)")
     ap.add_argument("--checkpoint", default=None,
                     help="explicit checkpoint path (default: latest in run)")
-    ap.add_argument("--mode", default="test")
+    ap.add_argument("--mode", default="test",
+                    help="split to stream; 'train' streams the training "
+                         "split WITH its augmentation (the training-time "
+                         "view of the data)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--dataroot", default=None)
@@ -51,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--mesh_shape", default=None,
                     help="serve over a device mesh, e.g. '4,2' or '8' "
                          "(data[,points] axes; batch/points must divide)")
+    ap.add_argument("--input_pipeline", default=None,
+                    choices=["host", "native"],
+                    help="host batch assembly (default: the run's "
+                         "setting; 'device' falls back to host — "
+                         "inference streams per batch)")
     ap.add_argument("--scan_chunk", type=int, default=16,
                     help="batches per dispatch: chunks of N batches run "
                          "as one lax.scan program (remote hosts pay one "
@@ -72,8 +80,12 @@ def main(argv=None):
         cfg = cfg.replace(batch_size=args.batch_size)
     if args.dataroot:
         cfg = cfg.replace(dataroot=args.dataroot)
-    # inference builds no device data pipeline; plain host loading
-    cfg = cfg.replace(input_pipeline="host")
+    # inference streams per batch: keep the run's host/native pipeline
+    # ('native' = C++ batch assembly, worth it on multi-core hosts);
+    # the device-resident pipeline is a training construct — fall back
+    pipeline = args.input_pipeline or cfg.input_pipeline
+    cfg = cfg.replace(input_pipeline=(
+        "host" if pipeline == "device" else pipeline))
 
     # the serving mesh comes from THIS machine's CLI, not the training
     # run's config (a run trained on 1 chip can serve on 8)
