@@ -1,6 +1,8 @@
 """Mesh / sharding utilities (no reference equivalent — the reference is
 single-GPU only, SURVEY.md §2.3)."""
 
-from .mesh import make_mesh, batch_specs, shard_batch, replicate
+from .mesh import (make_mesh, batch_specs, shard_batch,
+                   shard_stacked, replicate)
 
-__all__ = ["make_mesh", "batch_specs", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "batch_specs", "shard_batch",
+           "shard_stacked", "replicate"]

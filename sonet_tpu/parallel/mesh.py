@@ -68,3 +68,15 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree (model/optimizer state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def shard_stacked(stacked: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a CHUNK of K stacked batches, dict of (K, B, ...) arrays,
+    with the canonical per-batch specs behind a replicated leading axis
+    (the chunk axis is scanned, not sharded)."""
+    specs = batch_specs()
+    out = {}
+    for k, v in stacked.items():
+        spec = specs.get(k, P())
+        out[k] = jax.device_put(v, NamedSharding(mesh, P(None, *spec)))
+    return out

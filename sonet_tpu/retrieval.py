@@ -21,17 +21,64 @@ import numpy as np
 from .ops.pairwise import pairwise_sqdist
 
 
-def extract_scores(eval_step, state, loader, device_batch_fn):
-    """Forward all shapes -> (scores (T, C), labels (T,), ids (T,))."""
+def extract_scores(eval_step, state, loader, device_batch_fn,
+                   scan_chunk: int = 1, put_stacked=None):
+    """Forward all shapes -> (scores (T, C), labels (T,), ids (T,)).
+
+    ``scan_chunk > 1``: chunks of that many batches run as ONE
+    ``lax.scan`` program (one dispatch round-trip per chunk instead of
+    per batch — tasks/infer.py's pattern); batches must be uniform
+    shape (``BatchLoader(pad_last=True)``).  ``put_stacked`` places a
+    dict of (K, B, ...) stacked arrays on device (defaults to plain
+    ``jnp.asarray``; pass ``parallel.shard_stacked`` under a mesh)."""
     scores, labels, ids = [], [], []
-    for batch in loader:
-        valid = int(batch.pop("valid", len(batch["label"])))
-        item_ids = batch.pop("id", None)
-        labels.append(np.asarray(batch["label"])[:valid])
-        m = eval_step(state, device_batch_fn(batch))
-        scores.append(np.asarray(m["score"])[:valid])
-        if item_ids is not None:
-            ids.append(np.asarray(item_ids)[:valid])
+
+    if scan_chunk <= 1:
+        for batch in loader:
+            valid = int(batch.pop("valid", len(batch["label"])))
+            item_ids = batch.pop("id", None)
+            labels.append(np.asarray(batch["label"])[:valid])
+            m = eval_step(state, device_batch_fn(batch))
+            scores.append(np.asarray(m["score"])[:valid])
+            if item_ids is not None:
+                ids.append(np.asarray(item_ids)[:valid])
+    else:
+        if put_stacked is None:
+            def put_stacked(d):
+                return {k: jnp.asarray(v) for k, v in d.items()}
+
+        @jax.jit
+        def scan_eval(st, stacked):
+            def body(c, b):
+                return c, eval_step(st, b)["score"]
+            _, s = jax.lax.scan(body, None, stacked)
+            return s
+
+        pending, valids = [], []
+
+        def flush():
+            if not pending:
+                return
+            stacked = {k: np.stack([b[k] for b in pending])
+                       for k in pending[0]}
+            s = np.asarray(scan_eval(state, put_stacked(stacked)))
+            for j, v in enumerate(valids):
+                scores.append(s[j][:v])
+            pending.clear()
+            valids.clear()
+
+        for batch in loader:
+            valid = int(batch.pop("valid", len(batch["label"])))
+            item_ids = batch.pop("id", None)
+            labels.append(np.asarray(batch["label"])[:valid])
+            if item_ids is not None:
+                ids.append(np.asarray(item_ids)[:valid])
+            pending.append(batch)
+            valids.append(valid)
+            if len(pending) == scan_chunk:
+                flush()
+        flush()
+
     scores = np.concatenate(scores, 0)
     labels = np.concatenate(labels, 0)
     ids = (np.concatenate(ids, 0) if ids

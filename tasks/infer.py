@@ -152,12 +152,8 @@ def main(argv=None):
     def put_stacked(stacked):
         if mesh is None:
             return {k: jnp.asarray(v) for k, v in stacked.items()}
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from sonet_tpu.parallel import batch_specs
-        specs = batch_specs()
-        return {k: jax.device_put(
-                    v, NamedSharding(mesh, P(None, *specs.get(k, P()))))
-                for k, v in stacked.items()}
+        from sonet_tpu.parallel import shard_stacked
+        return shard_stacked(stacked, mesh)
 
     rows = []
     sums, seen = {}, 0

@@ -34,7 +34,8 @@ def main(argv=None):
     # (state replicated, batches data/points-sharded) like tasks/infer.py
     mesh = None
     if math.prod(cfg.mesh_shape) > 1:
-        from sonet_tpu.parallel import make_mesh, replicate, shard_batch
+        from sonet_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                        shard_stacked)
         shape = tuple(cfg.mesh_shape)
         shape += (1,) * (len(cfg.mesh_axes) - len(shape))
         mesh = make_mesh(shape, cfg.mesh_axes)
@@ -64,8 +65,12 @@ def main(argv=None):
             return shard_batch(b, mesh)
         return {k: jnp.asarray(v) for k, v in b.items()}
 
-    scores, labels, ids = retrieval.extract_scores(eval_step, state, loader,
-                                                   device_batch)
+    put_stacked = ((lambda d: shard_stacked(d, mesh))
+                   if mesh is not None else None)
+    scores, labels, ids = retrieval.extract_scores(
+        eval_step, state, loader, device_batch,
+        scan_chunk=max(1, min(16, (len(loader) + 1) // 2)),
+        put_stacked=put_stacked)
     results = retrieval.rank_all(scores)
     metrics = retrieval.retrieval_metrics(results, labels)
     retrieval.write_rank_files(results, ids, known.output_dir)
