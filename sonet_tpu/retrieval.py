@@ -59,6 +59,11 @@ def extract_scores(eval_step, state, loader, device_batch_fn,
         def flush():
             if not pending:
                 return
+            # pad a final partial chunk to the full scan length so it
+            # reuses the compiled program (padded entries: valid=0)
+            while len(pending) < scan_chunk:
+                pending.append(pending[-1])
+                valids.append(0)
             stacked = {k: np.stack([b[k] for b in pending])
                        for k in pending[0]}
             s = np.asarray(scan_eval(state, put_stacked(stacked)))

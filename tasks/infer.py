@@ -196,13 +196,18 @@ def main(argv=None):
         nonlocal t0, timed
         if not pending:
             return
-        if len(pending) == 1:
+        # pad a final partial chunk up to the K-length scan shape so it
+        # reuses the warm compiled program instead of compiling a second
+        # one (padded entries carry valid=0: no rows, sums, or timing)
+        while len(pending) < K:
+            pending.append(pending[-1])
+            valids.append(0)
+        if K == 1:
             db = put_stacked({k: v[None] for k, v in pending[0].items()})
-            ms = scan_eval(state, db)
         else:
             db = put_stacked({k: np.stack([b[k] for b in pending])
                               for k in pending[0]})
-            ms = scan_eval(state, db)
+        ms = scan_eval(state, db)
         ms = {k: np.asarray(v) for k, v in ms.items()}  # fetch = sync
         if t0 is None:  # first chunk includes compile; clock starts after
             t0 = time.perf_counter()

@@ -93,6 +93,44 @@ class TestRankAll:
         assert os.path.getsize(tmp_path / "q0_query.png") > 500
 
 
+class TestExtractScoresChunked:
+    def _fake_loader(self, n_batches, batch=4, classes=3):
+        loads = []
+        for i in range(n_batches):
+            rs = np.random.RandomState(i)
+            loads.append({
+                "pc": rs.randn(batch, 8, 3).astype(np.float32),
+                "label": rs.randint(0, classes, size=batch),
+                "valid": batch if i < n_batches - 1 else batch - 1,
+                "id": np.arange(i * batch, (i + 1) * batch),
+            })
+        return loads
+
+    def test_chunked_matches_per_batch_and_compiles_once(self):
+        """scan_chunk path: identical scores/labels/ids vs per-batch,
+        with a partial final chunk PADDED to the compiled scan length
+        (one trace total, no second compile for the remainder)."""
+        import jax.numpy as jnp
+
+        traces = []
+
+        def eval_step(state, b):
+            traces.append(1)  # python side-effect: runs once per trace
+            return {"score": jnp.sum(b["pc"], axis=1) * state}
+
+        state = 2.0
+        dev = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+        # 5 batches, chunk 3 -> one full chunk + a padded 2-batch chunk
+        ref = retrieval.extract_scores(
+            eval_step, state, self._fake_loader(5), dev)
+        traces.clear()
+        out = retrieval.extract_scores(
+            eval_step, state, self._fake_loader(5), dev, scan_chunk=3)
+        assert sum(traces) == 1, "partial final chunk must reuse the program"
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 class TestRetrieveDriverMesh:
     def test_driver_mesh_matches_single(self, tmp_path):
         """tasks/retrieve.py --mesh_shape must produce the same metrics
