@@ -73,11 +73,16 @@ def cmd_som(args) -> None:
     def flush():
         if not batch:
             return
+        # pad a final partial batch to full size: ONE compiled fit
+        # program for the whole run, and the sharded placement stays
+        # valid (zip(paths, nodes) below drops the padded rows)
+        while len(batch) < args.batch:
+            batch.append(batch[-1])
         stacked = np.stack(batch)
-        if mesh is not None and len(stacked) % args.mesh_shape == 0:
+        if mesh is not None:
             import jax
             dev = jax.device_put(stacked, batch_sharding)
-        else:  # final remainder batch runs unsharded
+        else:
             dev = jnp.asarray(stacked)
         nodes = np.asarray(som_fit(dev, cfg))
         for p, node in zip(paths, nodes):

@@ -33,7 +33,16 @@ def make_mesh(shape: Sequence[int] = None,
     devices = devices if devices is not None else jax.devices()
     if shape is None:
         shape = (len(devices), 1)
-    arr = np.asarray(devices).reshape(tuple(shape))
+    need = int(np.prod(shape))
+    if need > len(devices):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {need} devices but only "
+            f"{len(devices)} are visible ({devices[0].platform}); on a "
+            f"single-chip host use mesh shape (1,...) or force a virtual "
+            f"CPU mesh (JAX_PLATFORMS=cpu + "
+            f"--xla_force_host_platform_device_count=N before backend "
+            f"init)")
+    arr = np.asarray(devices[:need]).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 
 

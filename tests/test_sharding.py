@@ -30,6 +30,15 @@ class TestMesh:
         assert mesh.devices.shape == (4, 2)
         assert mesh.axis_names == ("data", "points")
 
+    def test_make_mesh_subset_and_too_many(self):
+        import pytest
+        # a mesh over a SUBSET of visible devices is fine (first N)
+        mesh = make_mesh((2, 2))
+        assert mesh.devices.shape == (2, 2)
+        # asking for more than exist fails with a clear message
+        with pytest.raises(ValueError, match="devices.*visible"):
+            make_mesh((16, 1))
+
     def test_shard_batch_placement(self):
         cfg = cfg_mod.tiny_test().replace(batch_size=8, input_pc_num=64)
         mesh = make_mesh((4, 2))
