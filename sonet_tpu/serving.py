@@ -1,0 +1,330 @@
+"""AOT model export: self-contained serving artifacts via ``jax.export``.
+
+Beyond-reference capability (the reference's only deployment story is
+re-loading ``.pth`` files inside the training codebase,
+shrec16/test.py:31-32).  A finished training run — the directory
+``Trainer`` writes (``config.json`` + ``ckpt/``) — is exported as a
+*self-contained* artifact: the eval-mode forward pass with parameters
+and BatchNorm statistics baked in as constants, lowered to StableHLO
+and serialized with ``jax.export``.  Loading the artifact needs only
+``jax`` — none of this package's model code — and runs on every
+platform it was lowered for.
+
+Artifact layout (a directory)::
+
+    model.stablehlo   serialized jax.export blob (params embedded)
+    manifest.json     task, input signature, output meaning, platforms,
+                      jax version, source checkpoint
+
+Calling convention (all arrays batch-major, spatial dim D=3, or 2 for
+MNIST; shapes are those recorded in ``manifest["inputs"]``):
+
+    classify/retrieve:  (pc, sn, node)          -> score  (B, classes)
+    segment:            (pc, sn, node, label)   -> score  (B, N, classes)
+    autoencode:         (pc, sn, node)          -> pc_out (B, output_pc_num, 3)
+
+Portability note: the production TPU pooling path is a Pallas (Mosaic)
+kernel, which lowers to a TPU-only custom call.  Exports whose platform
+list includes ``cpu`` therefore force the pure-XLA ``scatter`` pooling
+path so the artifact is plain StableHLO and runs anywhere; a
+``tpu``-only export keeps the fast kernel.  Both are numerically
+cross-checked in tests/test_export.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from .config import Config, load_config
+
+ARTIFACT_BLOB = "model.stablehlo"
+ARTIFACT_MANIFEST = "manifest.json"
+
+
+def _spatial_dim(cfg: Config) -> int:
+    return 2 if cfg.dataset == "mnist" else 3
+
+
+def input_signature(cfg: Config, batch_size: Optional[int] = None):
+    """(name, shape, dtype) triples of the serving inputs for ``cfg``."""
+    B = batch_size or cfg.batch_size
+    D = _spatial_dim(cfg)
+    sig = [("pc", (B, cfg.input_pc_num, D), "float32"),
+           ("sn", (B, cfg.input_pc_num, D), "float32"),
+           ("node", (B, cfg.node_num, D), "float32")]
+    if cfg.task == "segment":
+        sig.append(("label", (B,), "int32"))
+    return sig
+
+
+def build_serve_fn(model, cfg: Config, params, batch_stats) -> Callable:
+    """Pure eval-mode forward with variables closed over (they become
+    constants of the exported program)."""
+    variables: dict[str, Any] = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    if cfg.task == "segment":
+        def serve(pc, sn, node, label):
+            score, _ = model.apply(variables, pc, sn, node, label,
+                                   train=False)
+            return score
+    elif cfg.task == "autoencode":
+        def serve(pc, sn, node):
+            dec, _ = model.apply(variables, pc, sn, node, train=False)
+            return dec.pc
+    else:  # classify / retrieve (retrieval serves the score vector as key)
+        def serve(pc, sn, node):
+            score, _ = model.apply(variables, pc, sn, node, train=False)
+            return score
+    return serve
+
+
+def _restore_run(run_dir: str, batch_size: Optional[int] = None,
+                 checkpoint: Optional[str] = None,
+                 pooling: Optional[str] = None):
+    """Restore a finished run for serving: ``(cfg, model, state, ckpt)``."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import train
+    from .models import build_model
+
+    cfg = load_config(os.path.join(run_dir, "config.json"))
+    if batch_size:
+        cfg = cfg.replace(batch_size=batch_size)
+    cfg = cfg.replace(mesh_shape=(1, 1))
+    if pooling:
+        cfg = cfg.replace(pooling=pooling)
+
+    sig = input_signature(cfg, cfg.batch_size)
+    example = tuple(jnp.zeros(s, d) for _, s, d in sig)
+    model = build_model(cfg)
+    state = train.init_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                             example)
+    ckpt = checkpoint or train.latest_checkpoint(os.path.join(run_dir, "ckpt"))
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint found under {run_dir}/ckpt")
+    state = train.restore_checkpoint(ckpt, state)
+    return cfg, model, state, ckpt
+
+
+_OUTPUT_DOC = {"classify": "score (B, classes)",
+               "retrieve": "score (B, classes)",
+               "segment": "per-point score (B, N, classes)",
+               "autoencode": "reconstructed cloud (B, P, 3)"}
+
+
+def export_run(run_dir: str, out_dir: Optional[str] = None,
+               batch_size: Optional[int] = None,
+               checkpoint: Optional[str] = None,
+               platforms: Optional[list[str]] = None) -> dict:
+    """Export a finished run as a serving artifact; returns the manifest.
+
+    ``platforms`` defaults to the current backend.  Any list containing
+    ``cpu`` forces the portable pure-XLA pooling path (see module doc).
+    """
+    import jax
+    from jax import export as jexport
+
+    platforms = [p.lower() for p in (platforms or [jax.default_backend()])]
+    cfg, model, state, ckpt = _restore_run(
+        run_dir, batch_size, checkpoint,
+        pooling=("scatter" if "cpu" in platforms else None))
+    sig = input_signature(cfg, cfg.batch_size)
+
+    serve = build_serve_fn(model, cfg, state.params, state.batch_stats)
+    exported = jexport.export(jax.jit(serve), platforms=platforms)(
+        *(jax.ShapeDtypeStruct(s, d) for _, s, d in sig))
+    blob = bytes(exported.serialize())
+
+    out_dir = out_dir or os.path.join(run_dir, "export")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ARTIFACT_BLOB), "wb") as f:
+        f.write(blob)
+    manifest = {
+        "task": cfg.task,
+        "inputs": [{"name": n, "shape": list(s), "dtype": d}
+                   for n, s, d in sig],
+        "output": _OUTPUT_DOC[cfg.task],
+        "platforms": platforms,
+        "pooling": ("scatter" if "cpu" in platforms else cfg.pooling),
+        "classes": cfg.classes,
+        "checkpoint": ckpt,
+        "jax_version": jax.__version__,
+        "blob_bytes": len(blob),
+    }
+    with open(os.path.join(out_dir, ARTIFACT_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_exported(artifact_dir: str):
+    """Load a serving artifact: returns ``(fn, manifest)``.
+
+    ``fn(*arrays)`` runs the exported program on the current default
+    device (which must be in ``manifest['platforms']``).  Needs only
+    jax — no sonet_tpu model code, config, or checkpoint.
+    """
+    from jax import export as jexport
+
+    with open(os.path.join(artifact_dir, ARTIFACT_MANIFEST)) as f:
+        manifest = json.load(f)
+    with open(os.path.join(artifact_dir, ARTIFACT_BLOB), "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+
+    def fn(*arrays):
+        expect = manifest["inputs"]
+        if len(arrays) != len(expect):
+            names = [i["name"] for i in expect]
+            raise ValueError(f"expected {len(expect)} inputs {names}, "
+                             f"got {len(arrays)}")
+        cast = [np.asarray(a, i["dtype"]) for a, i in zip(arrays, expect)]
+        for a, i in zip(cast, expect):
+            if list(a.shape) != i["shape"]:
+                raise ValueError(f"input {i['name']}: expected shape "
+                                 f"{i['shape']}, got {list(a.shape)}")
+        return exported.call(*cast)
+
+    return fn, manifest
+
+
+class ServingEngine:
+    """Request-level serving wrapper over a compiled fixed-batch forward.
+
+    The compiled program has a FIXED batch size ``B`` (XLA static
+    shapes); ``predict`` accepts any request batch ``B'`` by chunking
+    into ``ceil(B'/B)`` calls and padding the final chunk (padding rows
+    replicate the last item and are sliced off — per-item outputs are
+    batch-independent in eval mode, pinned by tests/test_serve.py).
+    Device dispatch is serialized with a lock (one chip, one program);
+    chunk preparation and response encoding run outside it.
+
+    Construct with :meth:`from_artifact` (an ``export_run`` directory;
+    needs only jax) or :meth:`from_run` (a run directory; restores the
+    checkpoint in-process and keeps the current backend's fast pooling
+    path).  ``tasks/serve.py`` wraps this in an HTTP daemon.
+    """
+
+    def __init__(self, fn: Callable, manifest: dict):
+        self._fn = fn
+        self.manifest = manifest
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.items = 0
+        self.total_s = 0.0
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_artifact(cls, artifact_dir: str) -> "ServingEngine":
+        fn, manifest = load_exported(artifact_dir)
+        return cls(fn, manifest)
+
+    @classmethod
+    def from_run(cls, run_dir: str, batch_size: Optional[int] = None,
+                 checkpoint: Optional[str] = None) -> "ServingEngine":
+        import jax
+
+        cfg, model, state, ckpt = _restore_run(run_dir, batch_size,
+                                               checkpoint)
+        serve = jax.jit(build_serve_fn(model, cfg, state.params,
+                                       state.batch_stats))
+        manifest = {
+            "task": cfg.task,
+            "inputs": [{"name": n, "shape": list(s), "dtype": d}
+                       for n, s, d in input_signature(cfg, cfg.batch_size)],
+            "output": _OUTPUT_DOC[cfg.task],
+            "platforms": [jax.default_backend()],
+            "pooling": cfg.pooling,
+            "classes": cfg.classes,
+            "checkpoint": ckpt,
+            "source": "run",
+        }
+        return cls(serve, manifest)
+
+    # -- serving ------------------------------------------------------------
+
+    @property
+    def batch_size(self) -> int:
+        return self.manifest["inputs"][0]["shape"][0]
+
+    @property
+    def input_names(self) -> list:
+        return [i["name"] for i in self.manifest["inputs"]]
+
+    def predict(self, inputs: dict) -> np.ndarray:
+        """Run the model on named arrays; returns the stacked output.
+
+        ``inputs`` maps input name -> array of shape ``(B', *item)`` for
+        any ``B' >= 1`` (see class doc for the chunk/pad semantics).
+        """
+        expect = self.manifest["inputs"]
+        missing = [i["name"] for i in expect if i["name"] not in inputs]
+        if missing:
+            raise ValueError(f"missing inputs {missing} "
+                             f"(want {self.input_names})")
+        arrays, B_req = [], None
+        for spec in expect:
+            try:
+                a = np.asarray(inputs[spec["name"]], spec["dtype"])
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"input {spec['name']}: not convertible "
+                                 f"to {spec['dtype']}: {e}") from None
+            want = spec["shape"]
+            if a.ndim != len(want) or list(a.shape[1:]) != want[1:]:
+                raise ValueError(
+                    f"input {spec['name']}: expected shape "
+                    f"(B, {', '.join(map(str, want[1:]))}), "
+                    f"got {list(a.shape)}")
+            if B_req is None:
+                B_req = a.shape[0]
+            elif a.shape[0] != B_req:
+                raise ValueError(
+                    f"inconsistent batch sizes: {spec['name']} has "
+                    f"{a.shape[0]}, expected {B_req}")
+            arrays.append(a)
+        if not B_req:
+            raise ValueError("empty request batch")
+
+        B = self.batch_size
+        t0 = time.perf_counter()
+        outs = []
+        with self._lock:
+            for s in range(0, B_req, B):
+                chunk = [a[s:s + B] for a in arrays]
+                n = chunk[0].shape[0]
+                if n < B:
+                    chunk = [np.concatenate(
+                        [c, np.repeat(c[-1:], B - n, axis=0)]) for c in chunk]
+                outs.append(np.asarray(self._fn(*chunk))[:n])
+            dt = time.perf_counter() - t0
+            self.requests += 1
+            self.items += B_req
+            self.total_s += dt
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+
+    def warmup(self) -> None:
+        """Compile/execute once on zeros so the first request is fast."""
+        zeros = {i["name"]: np.zeros(i["shape"], i["dtype"])
+                 for i in self.manifest["inputs"]}
+        before = (self.requests, self.items, self.total_s)
+        self.predict(zeros)
+        # compile time isn't traffic: restore the counters
+        self.requests, self.items, self.total_s = before
+
+    def stats(self) -> dict:
+        return {
+            "task": self.manifest["task"],
+            "batch_size": self.batch_size,
+            "requests": self.requests,
+            "items": self.items,
+            "avg_ms_per_item": (round(self.total_s / self.items * 1e3, 3)
+                                if self.items else None),
+        }

@@ -1,0 +1,117 @@
+"""AOT serving-artifact export (sonet_tpu/serving.py + tasks/export.py).
+
+Train a tiny run, export it with jax.export, reload the artifact
+WITHOUT model code, and check numerical equality against the in-process
+eval forward.  Beyond-reference capability (the reference's only
+deployment path is .pth reloads inside its own codebase,
+shrec16/test.py:31-32)."""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sonet_tpu.config import tiny_test, load_config
+from sonet_tpu.serving import (build_serve_fn, export_run, input_signature,
+                               load_exported)
+from sonet_tpu.train.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _train_tiny(tmp_path, **overrides):
+    cfg = tiny_test().replace(checkpoints_dir=str(tmp_path), epochs=1,
+                              checkpoint_every=1, **overrides)
+    trainer = Trainer(cfg, quiet=True, resume=False)
+    trainer.fit()
+    return trainer.out_dir
+
+
+def _direct_serve(run_dir, arrays):
+    """The in-process eval forward, built the same way export_run builds
+    the exported one (portable pooling path)."""
+    import jax
+
+    from sonet_tpu import train
+    from sonet_tpu.models import build_model
+
+    cfg = load_config(os.path.join(run_dir, "config.json"))
+    cfg = cfg.replace(mesh_shape=(1, 1), pooling="scatter")
+    model = build_model(cfg)
+    example = tuple(np.zeros(s, d) for _, s, d in input_signature(cfg))
+    state = train.init_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                             example)
+    state = train.restore_checkpoint(
+        train.latest_checkpoint(os.path.join(run_dir, "ckpt")), state)
+    serve = build_serve_fn(model, cfg, state.params, state.batch_stats)
+    return np.asarray(jax.jit(serve)(*arrays))
+
+
+def _random_inputs(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for name, shape, dtype in input_signature(cfg):
+        if name == "label":
+            out.append(rng.randint(0, 16, shape).astype(dtype))
+        else:
+            out.append(rng.randn(*shape).astype(dtype))
+    return tuple(out)
+
+
+class TestExportRoundtrip:
+    def test_classify_export_matches_direct(self, tmp_path):
+        run = _train_tiny(tmp_path, name="exp_cls")
+        manifest = export_run(run, platforms=["cpu"])
+        art = os.path.join(run, "export")
+        assert os.path.exists(os.path.join(art, "model.stablehlo"))
+        with open(os.path.join(art, "manifest.json")) as f:
+            assert json.load(f)["task"] == "classify"
+        assert manifest["pooling"] == "scatter"
+
+        fn, m = load_exported(art)
+        cfg = load_config(os.path.join(run, "config.json"))
+        arrays = _random_inputs(cfg)
+        got = np.asarray(fn(*arrays))
+        want = _direct_serve(run, arrays)
+        assert got.shape == (cfg.batch_size, cfg.classes)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+        # wrong arity / wrong shape are caught before dispatch
+        with pytest.raises(ValueError, match="expected 3 inputs"):
+            fn(arrays[0])
+        with pytest.raises(ValueError, match="expected shape"):
+            fn(arrays[0][:, :-1], arrays[1], arrays[2])
+
+    def test_segment_and_autoencode_export(self, tmp_path):
+        for task, classes in (("segment", 50), ("autoencode", 4)):
+            run = _train_tiny(tmp_path, name=f"exp_{task}", task=task,
+                              classes=classes)
+            export_run(run, platforms=["cpu"])
+            fn, m = load_exported(os.path.join(run, "export"))
+            cfg = load_config(os.path.join(run, "config.json"))
+            arrays = _random_inputs(cfg)
+            got = np.asarray(fn(*arrays))
+            want = _direct_serve(run, arrays)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+            if task == "segment":
+                assert [i["name"] for i in m["inputs"]] == [
+                    "pc", "sn", "node", "label"]
+                assert got.shape == (cfg.batch_size, cfg.input_pc_num,
+                                     cfg.classes)
+            else:
+                assert got.shape[0] == cfg.batch_size and got.shape[2] == 3
+
+    def test_export_cli(self, tmp_path):
+        run = _train_tiny(tmp_path, name="exp_cli")
+        spec = importlib.util.spec_from_file_location(
+            "export_task", os.path.join(REPO, "tasks", "export.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        manifest = mod.main(["--run", run, "--platforms", "cpu",
+                             "--batch_size", "2", "--check",
+                             "--out", str(tmp_path / "art")])
+        assert manifest["check"]["finite"]
+        assert manifest["inputs"][0]["shape"][0] == 2
+        assert manifest["check"]["output_shape"] == [2, 4]

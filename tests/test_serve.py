@@ -1,0 +1,183 @@
+"""ServingEngine + HTTP daemon (sonet_tpu/serving.py + tasks/serve.py).
+
+Pins the request-level serving semantics: arbitrary request batch sizes
+chunk/pad onto the fixed compiled batch with per-row outputs identical
+to an exact-batch call, the HTTP surface speaks JSON and npz, and bad
+inputs are rejected before dispatch.  Beyond-reference capability (the
+reference has no serving surface, shrec16/test.py:31-32)."""
+
+import importlib.util
+import io
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sonet_tpu.config import tiny_test
+from sonet_tpu.serving import ServingEngine, export_run
+from sonet_tpu.train.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_serve_task():
+    spec = importlib.util.spec_from_file_location(
+        "serve_task", os.path.join(REPO, "tasks", "serve.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    cfg = tiny_test().replace(
+        checkpoints_dir=str(tmp_path_factory.mktemp("serve_run")),
+        epochs=1, checkpoint_every=1, name="serve_cls")
+    trainer = Trainer(cfg, quiet=True, resume=False)
+    trainer.fit()
+    return trainer.out_dir
+
+
+@pytest.fixture(scope="module")
+def engine(run_dir):
+    eng = ServingEngine.from_run(run_dir)
+    eng.warmup()
+    return eng
+
+
+def _inputs(engine, B, seed=0):
+    rng = np.random.RandomState(seed)
+    return {i["name"]: rng.randn(B, *i["shape"][1:]).astype(i["dtype"])
+            for i in engine.manifest["inputs"]}
+
+
+class TestServingEngine:
+    def test_exact_batch_and_stats(self, engine):
+        B = engine.batch_size
+        out = engine.predict(_inputs(engine, B))
+        assert out.shape == (B, engine.manifest["classes"])
+        assert np.isfinite(out).all()
+        s = engine.stats()
+        assert s["requests"] >= 1 and s["items"] >= B
+        assert s["avg_ms_per_item"] is not None
+
+    def test_partial_batch_pads_and_slices(self, engine):
+        B = engine.batch_size
+        full = _inputs(engine, B)
+        want = engine.predict(full)
+        for Bp in (1, B - 1):
+            got = engine.predict({k: v[:Bp] for k, v in full.items()})
+            assert got.shape[0] == Bp
+            np.testing.assert_allclose(got, want[:Bp], rtol=1e-5, atol=1e-5)
+
+    def test_oversized_batch_chunks(self, engine):
+        B = engine.batch_size
+        big = _inputs(engine, 2 * B + 1, seed=3)
+        got = engine.predict(big)
+        assert got.shape[0] == 2 * B + 1
+        # row i must equal the exact-batch evaluation of its own chunk
+        want0 = engine.predict({k: v[:B] for k, v in big.items()})
+        np.testing.assert_allclose(got[:B], want0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            got[2 * B:],
+            engine.predict({k: v[2 * B:] for k, v in big.items()}),
+            rtol=1e-5, atol=1e-5)
+
+    def test_bad_inputs_rejected(self, engine):
+        B = engine.batch_size
+        good = _inputs(engine, B)
+        with pytest.raises(ValueError, match="missing inputs"):
+            engine.predict({"pc": good["pc"]})
+        with pytest.raises(ValueError, match="expected shape"):
+            engine.predict({**good, "pc": good["pc"][:, :-1]})
+        with pytest.raises(ValueError, match="inconsistent batch"):
+            engine.predict({**good, "sn": good["sn"][:B - 1]})
+        with pytest.raises(ValueError, match="empty request"):
+            engine.predict({k: v[:0] for k, v in good.items()})
+
+    def test_artifact_engine_matches_run_engine(self, run_dir, engine):
+        export_run(run_dir, platforms=["cpu"])
+        art = ServingEngine.from_artifact(os.path.join(run_dir, "export"))
+        B = engine.batch_size
+        x = _inputs(engine, B + 1, seed=7)   # exercises the pad path too
+        np.testing.assert_allclose(art.predict(x), engine.predict(x),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestHTTPServer:
+    @pytest.fixture(scope="class")
+    def server(self, engine):
+        serve_task = _load_serve_task()
+        srv = serve_task.make_server(engine, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+        srv.server_close()
+
+    def _post(self, url, body, content_type="application/json"):
+        req = urllib.request.Request(
+            url, data=body, headers={"Content-Type": content_type})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+
+    def test_healthz_and_manifest(self, server, engine):
+        with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["task"] == "classify"
+        with urllib.request.urlopen(server + "/v1/manifest", timeout=30) as r:
+            man = json.loads(r.read())
+        assert man == engine.manifest
+
+    def test_predict_json(self, server, engine):
+        x = _inputs(engine, 2, seed=11)
+        body = json.dumps({k: v.tolist() for k, v in x.items()}).encode()
+        status, raw, _ = self._post(server + "/v1/predict", body)
+        assert status == 200
+        resp = json.loads(raw)
+        assert resp["items"] == 2
+        want = engine.predict(x)
+        np.testing.assert_allclose(np.array(resp["output"]), want,
+                                   rtol=1e-5, atol=1e-5)
+        assert resp["shape"] == list(want.shape)
+
+    def test_predict_npz_roundtrip(self, server, engine):
+        x = _inputs(engine, 3, seed=12)
+        buf = io.BytesIO()
+        np.savez(buf, **x)
+        status, raw, ctype = self._post(
+            server + "/v1/predict?format=npz", buf.getvalue(),
+            content_type="application/x-npz")
+        assert status == 200 and ctype == "application/x-npz"
+        with np.load(io.BytesIO(raw)) as z:
+            got = z["output"]
+        np.testing.assert_allclose(got, engine.predict(x),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_errors(self, server, engine):
+        # wrong input names -> 400 with the engine's message
+        bad = json.dumps({"bogus": [[0.0]]}).encode()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(server + "/v1/predict", bad)
+        assert ei.value.code == 400
+        assert "missing inputs" in json.loads(ei.value.read())["error"]
+        # malformed JSON -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(server + "/v1/predict", b"{not json")
+        assert ei.value.code == 400
+        # non-object JSON -> 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(server + "/v1/predict", b"[1,2]")
+        assert ei.value.code == 400
+        # unknown path -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(server + "/v1/nope", b"{}")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(server + "/nope", timeout=30)
+        assert ei.value.code == 404
