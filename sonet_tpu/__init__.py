@@ -29,7 +29,7 @@ from . import som  # noqa: F401
 
 # heavier subpackages (flax/optax/orbax) import lazily on attribute access
 _LAZY = ("nn", "models", "train", "data", "parallel", "utils", "retrieval",
-         "native")
+         "native", "serving")
 
 
 def __getattr__(name):

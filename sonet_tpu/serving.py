@@ -29,6 +29,11 @@ list includes ``cpu`` therefore force the pure-XLA ``scatter`` pooling
 path so the artifact is plain StableHLO and runs anywhere; a
 ``tpu``-only export keeps the fast kernel.  Both are numerically
 cross-checked in tests/test_export.py.
+
+``export_run(..., poly_batch=True)`` exports with a symbolic batch
+dimension instead (manifest shapes carry ``None``): one artifact, any
+batch size, at the cost of a compile per distinct batch size at load
+time (and the portable pooling path).
 """
 
 from __future__ import annotations
@@ -124,24 +129,42 @@ _OUTPUT_DOC = {"classify": "score (B, classes)",
 def export_run(run_dir: str, out_dir: Optional[str] = None,
                batch_size: Optional[int] = None,
                checkpoint: Optional[str] = None,
-               platforms: Optional[list[str]] = None) -> dict:
+               platforms: Optional[list[str]] = None,
+               poly_batch: bool = False) -> dict:
     """Export a finished run as a serving artifact; returns the manifest.
 
     ``platforms`` defaults to the current backend.  Any list containing
     ``cpu`` forces the portable pure-XLA pooling path (see module doc).
+
+    ``poly_batch=True`` exports with a *symbolic* batch dimension
+    (``jax.export`` shape polymorphism): one artifact serves any batch
+    size, recorded as ``None`` in the manifest's input shapes.  Each
+    distinct batch size still compiles on first call at load time, so
+    fixed-batch artifacts (+ ``ServingEngine`` chunk/pad) remain the
+    recommendation for latency-sensitive serving; poly artifacts also
+    force the portable scatter pooling path (the Pallas kernel needs
+    static shapes).
     """
     import jax
     from jax import export as jexport
 
     platforms = [p.lower() for p in (platforms or [jax.default_backend()])]
+    portable = "cpu" in platforms or poly_batch
     cfg, model, state, ckpt = _restore_run(
         run_dir, batch_size, checkpoint,
-        pooling=("scatter" if "cpu" in platforms else None))
+        pooling=("scatter" if portable else None))
     sig = input_signature(cfg, cfg.batch_size)
 
     serve = build_serve_fn(model, cfg, state.params, state.batch_stats)
-    exported = jexport.export(jax.jit(serve), platforms=platforms)(
-        *(jax.ShapeDtypeStruct(s, d) for _, s, d in sig))
+    if poly_batch:
+        b, = jexport.symbolic_shape("b")
+        specs = [jax.ShapeDtypeStruct((b,) + tuple(s[1:]), d)
+                 for _, s, d in sig]
+        manifest_shapes = [[None] + list(s[1:]) for _, s, _ in sig]
+    else:
+        specs = [jax.ShapeDtypeStruct(s, d) for _, s, d in sig]
+        manifest_shapes = [list(s) for _, s, _ in sig]
+    exported = jexport.export(jax.jit(serve), platforms=platforms)(*specs)
     blob = bytes(exported.serialize())
 
     out_dir = out_dir or os.path.join(run_dir, "export")
@@ -150,11 +173,12 @@ def export_run(run_dir: str, out_dir: Optional[str] = None,
         f.write(blob)
     manifest = {
         "task": cfg.task,
-        "inputs": [{"name": n, "shape": list(s), "dtype": d}
-                   for n, s, d in sig],
+        "inputs": [{"name": n, "shape": ms, "dtype": d}
+                   for (n, _, d), ms in zip(sig, manifest_shapes)],
+        "poly_batch": poly_batch,
         "output": _OUTPUT_DOC[cfg.task],
         "platforms": platforms,
-        "pooling": ("scatter" if "cpu" in platforms else cfg.pooling),
+        "pooling": ("scatter" if portable else cfg.pooling),
         "classes": cfg.classes,
         "checkpoint": ckpt,
         "jax_version": jax.__version__,
@@ -187,9 +211,15 @@ def load_exported(artifact_dir: str):
                              f"got {len(arrays)}")
         cast = [np.asarray(a, i["dtype"]) for a, i in zip(arrays, expect)]
         for a, i in zip(cast, expect):
-            if list(a.shape) != i["shape"]:
+            want = i["shape"]  # None = symbolic (poly_batch export)
+            if len(a.shape) != len(want) or any(
+                    w is not None and w != g for w, g in zip(want, a.shape)):
                 raise ValueError(f"input {i['name']}: expected shape "
-                                 f"{i['shape']}, got {list(a.shape)}")
+                                 f"{want}, got {list(a.shape)}")
+        if manifest.get("poly_batch") and len(
+                {a.shape[0] for a in cast}) > 1:
+            raise ValueError("inconsistent batch sizes across inputs: "
+                             f"{[a.shape[0] for a in cast]}")
         return exported.call(*cast)
 
     return fn, manifest
@@ -252,7 +282,8 @@ class ServingEngine:
     # -- serving ------------------------------------------------------------
 
     @property
-    def batch_size(self) -> int:
+    def batch_size(self) -> Optional[int]:
+        """Compiled batch size; None for a poly_batch artifact (any)."""
         return self.manifest["inputs"][0]["shape"][0]
 
     @property
@@ -297,6 +328,12 @@ class ServingEngine:
         t0 = time.perf_counter()
         outs = []
         with self._lock:
+            if B is None:  # poly_batch artifact: one dispatch, any B'
+                out = np.asarray(self._fn(*arrays))
+                self.requests += 1
+                self.items += B_req
+                self.total_s += time.perf_counter() - t0
+                return out
             for s in range(0, B_req, B):
                 chunk = [a[s:s + B] for a in arrays]
                 n = chunk[0].shape[0]
@@ -312,7 +349,7 @@ class ServingEngine:
 
     def warmup(self) -> None:
         """Compile/execute once on zeros so the first request is fast."""
-        zeros = {i["name"]: np.zeros(i["shape"], i["dtype"])
+        zeros = {i["name"]: np.zeros([d or 1 for d in i["shape"]], i["dtype"])
                  for i in self.manifest["inputs"]}
         before = (self.requests, self.items, self.total_s)
         self.predict(zeros)

@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. 'tpu' or 'cpu,tpu' "
                          "(default: current backend)")
+    ap.add_argument("--poly_batch", action="store_true",
+                    help="symbolic batch dimension: one artifact serves any "
+                         "batch size (forces the portable scatter pooling "
+                         "path; each new batch size compiles at load time)")
     ap.add_argument("--check", action="store_true",
                     help="reload the artifact and run it on zeros")
     args = ap.parse_args(argv)
@@ -44,12 +48,14 @@ def main(argv=None):
     platforms = (args.platforms.split(",") if args.platforms else None)
     manifest = export_run(args.run, out_dir=args.out,
                           batch_size=args.batch_size,
-                          checkpoint=args.checkpoint, platforms=platforms)
+                          checkpoint=args.checkpoint, platforms=platforms,
+                          poly_batch=args.poly_batch)
     out = args.out or os.path.join(args.run, "export")
     if args.check:
         import numpy as np
         fn, m = load_exported(out)
-        outs = np.asarray(fn(*(np.zeros(i["shape"], i["dtype"])
+        outs = np.asarray(fn(*(np.zeros([d or 1 for d in i["shape"]],
+                                        i["dtype"])
                                for i in m["inputs"])))
         manifest["check"] = {"output_shape": list(outs.shape),
                              "finite": bool(np.isfinite(outs).all())}

@@ -103,6 +103,32 @@ class TestExportRoundtrip:
             else:
                 assert got.shape[0] == cfg.batch_size and got.shape[2] == 3
 
+    def test_poly_batch_export(self, tmp_path):
+        """Symbolic-batch artifact: one export, any request batch size."""
+        run = _train_tiny(tmp_path, name="exp_poly")
+        manifest = export_run(run, platforms=["cpu"], poly_batch=True)
+        assert manifest["poly_batch"]
+        assert manifest["inputs"][0]["shape"][0] is None
+        assert manifest["pooling"] == "scatter"
+        fn, m = load_exported(os.path.join(run, "export"))
+        cfg = load_config(os.path.join(run, "config.json"))
+        full = _random_inputs(cfg)
+        want = _direct_serve(run, full)
+        for B in (1, 3, cfg.batch_size):
+            got = np.asarray(fn(*(a[:B] for a in full)))
+            np.testing.assert_allclose(got, want[:B], rtol=1e-5, atol=1e-5)
+        # inconsistent leading dims are caught before dispatch
+        with pytest.raises(ValueError, match="inconsistent batch"):
+            fn(full[0][:2], full[1][:3], full[2][:2])
+
+        # the ServingEngine dispatches poly artifacts without chunk/pad
+        from sonet_tpu.serving import ServingEngine
+        eng = ServingEngine.from_artifact(os.path.join(run, "export"))
+        assert eng.batch_size is None
+        got = eng.predict({"pc": full[0][:3], "sn": full[1][:3],
+                           "node": full[2][:3]})
+        np.testing.assert_allclose(got, want[:3], rtol=1e-5, atol=1e-5)
+
     def test_export_cli(self, tmp_path):
         run = _train_tiny(tmp_path, name="exp_cli")
         spec = importlib.util.spec_from_file_location(

@@ -159,6 +159,28 @@ class TestHTTPServer:
         np.testing.assert_allclose(got, engine.predict(x),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_concurrent_requests(self, server, engine):
+        """Parallel clients: dispatch is serialized by the engine lock,
+        every response carries its own rows (no cross-request mixing)."""
+        def one(seed, results):
+            x = _inputs(engine, 2, seed=seed)
+            body = json.dumps({k: v.tolist() for k, v in x.items()}).encode()
+            status, raw, _ = self._post(server + "/v1/predict", body)
+            results[seed] = (status, np.array(json.loads(raw)["output"]),
+                             engine.predict(x))
+
+        results = {}
+        threads = [threading.Thread(target=one, args=(s, results))
+                   for s in (21, 22, 23, 24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 4
+        for status, got, want in results.values():
+            assert status == 200
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_errors(self, server, engine):
         # wrong input names -> 400 with the engine's message
         bad = json.dumps({"bogus": [[0.0]]}).encode()
