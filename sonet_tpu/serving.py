@@ -93,8 +93,13 @@ def build_serve_fn(model, cfg: Config, params, batch_stats) -> Callable:
 
 def _restore_run(run_dir: str, batch_size: Optional[int] = None,
                  checkpoint: Optional[str] = None,
-                 pooling: Optional[str] = None):
-    """Restore a finished run for serving: ``(cfg, model, state, ckpt)``."""
+                 pooling: Optional[str] = None,
+                 mesh_shape: Optional[tuple] = None):
+    """Restore a finished run for serving: ``(cfg, model, state, ckpt)``.
+
+    ``mesh_shape`` is the SERVING mesh (data[, points]) — independent of
+    whatever the run trained on; setting it makes pooling resolution
+    pick the shardable scatter form (encoder.resolve_pooling)."""
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +109,11 @@ def _restore_run(run_dir: str, batch_size: Optional[int] = None,
     cfg = load_config(os.path.join(run_dir, "config.json"))
     if batch_size:
         cfg = cfg.replace(batch_size=batch_size)
-    cfg = cfg.replace(mesh_shape=(1, 1))
+    if mesh_shape:
+        cfg = cfg.replace(mesh_shape=tuple(mesh_shape),
+                          mesh_axes=("data", "points"))
+    else:
+        cfg = cfg.replace(mesh_shape=(1, 1))
     if pooling:
         cfg = cfg.replace(pooling=pooling)
 
@@ -148,6 +157,8 @@ def export_run(run_dir: str, out_dir: Optional[str] = None,
     import jax
     from jax import export as jexport
 
+    from .nn.encoder import resolve_pooling
+
     platforms = [p.lower() for p in (platforms or [jax.default_backend()])]
     portable = "cpu" in platforms or poly_batch
     cfg, model, state, ckpt = _restore_run(
@@ -178,7 +189,7 @@ def export_run(run_dir: str, out_dir: Optional[str] = None,
         "poly_batch": poly_batch,
         "output": _OUTPUT_DOC[cfg.task],
         "platforms": platforms,
-        "pooling": ("scatter" if portable else cfg.pooling),
+        "pooling": ("scatter" if portable else resolve_pooling(cfg)),
         "classes": cfg.classes,
         "checkpoint": ckpt,
         "jax_version": jax.__version__,
@@ -259,23 +270,58 @@ class ServingEngine:
 
     @classmethod
     def from_run(cls, run_dir: str, batch_size: Optional[int] = None,
-                 checkpoint: Optional[str] = None) -> "ServingEngine":
+                 checkpoint: Optional[str] = None,
+                 mesh_shape: Optional[tuple] = None) -> "ServingEngine":
+        """``mesh_shape=(data[, points])`` serves over a device mesh: a
+        run trained on one chip serves on N — state replicated, request
+        batch sharded over 'data' and points over 'points' (XLA inserts
+        the collectives; same layout as tasks/infer.py)."""
         import jax
 
-        cfg, model, state, ckpt = _restore_run(run_dir, batch_size,
-                                               checkpoint)
+        from .nn.encoder import resolve_pooling
+
+        mesh = None
+        if mesh_shape:
+            shape = tuple(int(s) for s in mesh_shape)
+            if not 1 <= len(shape) <= 2 or any(s < 1 for s in shape):
+                raise ValueError(f"mesh_shape {mesh_shape!r}: want "
+                                 f"(data,) or (data, points) positive ints")
+            shape += (1,) * (2 - len(shape))
+        cfg, model, state, ckpt = _restore_run(
+            run_dir, batch_size, checkpoint,
+            mesh_shape=(shape if mesh_shape else None))
+        if mesh_shape:
+            from .parallel import make_mesh, replicate
+            if cfg.batch_size % shape[0]:
+                raise ValueError(f"batch_size {cfg.batch_size} must divide "
+                                 f"over the data axis ({shape[0]})")
+            if cfg.input_pc_num % shape[1]:
+                raise ValueError(f"input_pc_num {cfg.input_pc_num} must "
+                                 f"divide over the points axis ({shape[1]})")
+            mesh = make_mesh(shape, ("data", "points"))
+            state = replicate(state, mesh)
         serve = jax.jit(build_serve_fn(model, cfg, state.params,
                                        state.batch_stats))
+        if mesh is not None:
+            from .parallel import shard_batch
+            names = [n for n, _, _ in input_signature(cfg, cfg.batch_size)]
+            inner = serve
+
+            def serve(*arrays):  # noqa: F811 — mesh-sharding wrapper
+                b = shard_batch(dict(zip(names, arrays)), mesh)
+                return inner(*(b[n] for n in names))
         manifest = {
             "task": cfg.task,
             "inputs": [{"name": n, "shape": list(s), "dtype": d}
                        for n, s, d in input_signature(cfg, cfg.batch_size)],
             "output": _OUTPUT_DOC[cfg.task],
             "platforms": [jax.default_backend()],
-            "pooling": cfg.pooling,
+            "pooling": resolve_pooling(cfg),
             "classes": cfg.classes,
             "checkpoint": ckpt,
             "source": "run",
+            "mesh_shape": (list(mesh.devices.shape) if mesh is not None
+                           else None),
         }
         return cls(serve, manifest)
 

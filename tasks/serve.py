@@ -123,6 +123,10 @@ def main(argv=None):
                     help="compiled batch size (--run only; artifacts are "
                          "compiled at export time)")
     ap.add_argument("--checkpoint", default=None, help="--run only")
+    ap.add_argument("--mesh_shape", default=None,
+                    help="serve over a device mesh, e.g. '4,2' or '8' "
+                         "(data[,points] axes; --run only — state "
+                         "replicated, request batches sharded)")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip the compile-on-zeros warmup")
     ap.add_argument("--verbose", action="store_true",
@@ -132,13 +136,24 @@ def main(argv=None):
     from sonet_tpu.serving import ServingEngine
 
     if args.artifact:
-        if args.batch_size or args.checkpoint:
-            raise SystemExit("--batch_size/--checkpoint only apply to --run "
-                             "(artifacts are compiled at export time)")
+        if args.batch_size or args.checkpoint or args.mesh_shape:
+            raise SystemExit("--batch_size/--checkpoint/--mesh_shape only "
+                             "apply to --run (artifacts are compiled at "
+                             "export time, single-device)")
         engine = ServingEngine.from_artifact(args.artifact)
     else:
+        mesh_shape = None
+        if args.mesh_shape:
+            try:
+                mesh_shape = tuple(
+                    int(t) for t in
+                    args.mesh_shape.replace("x", ",").split(",") if t)
+            except ValueError:
+                raise SystemExit(f"--mesh_shape {args.mesh_shape!r}: want "
+                                 f"comma-separated ints")
         engine = ServingEngine.from_run(args.run, batch_size=args.batch_size,
-                                        checkpoint=args.checkpoint)
+                                        checkpoint=args.checkpoint,
+                                        mesh_shape=mesh_shape)
     if not args.no_warmup:
         engine.warmup()
 

@@ -99,6 +99,20 @@ class TestServingEngine:
         with pytest.raises(ValueError, match="empty request"):
             engine.predict({k: v[:0] for k, v in good.items()})
 
+    def test_mesh_engine_matches_single(self, run_dir, engine):
+        """A 1-chip-trained run served over a 4x2 mesh: per-row outputs
+        identical to single-device serving (state replicated, request
+        batch sharded over data x points)."""
+        eng8 = ServingEngine.from_run(run_dir, mesh_shape=(4, 2))
+        assert eng8.manifest["mesh_shape"] == [4, 2]
+        assert eng8.manifest["pooling"] == "scatter"
+        B = engine.batch_size
+        x = _inputs(engine, B + 2, seed=31)   # chunk + pad through the mesh
+        np.testing.assert_allclose(eng8.predict(x), engine.predict(x),
+                                   rtol=1e-5, atol=1e-5)
+        with pytest.raises(ValueError, match="divide"):
+            ServingEngine.from_run(run_dir, mesh_shape=(3,))
+
     def test_artifact_engine_matches_run_engine(self, run_dir, engine):
         export_run(run_dir, platforms=["cpu"])
         art = ServingEngine.from_artifact(os.path.join(run_dir, "export"))
