@@ -232,11 +232,10 @@ def parse_args(argv=None, preset: str = "modelnet40") -> Config:
         elif t in ("float", float):
             p.add_argument(f"--{f.name}", type=float, default=default)
         elif f.name == "mesh_shape":
-            # comma-separated, e.g. --mesh_shape 4,2 = (data=4, points=2)
-            p.add_argument("--mesh_shape",
-                           type=lambda s: tuple(int(t) for t in
-                                                s.replace("x", ",").split(",")
-                                                if t),
+            # comma-separated, e.g. --mesh_shape 4,2 = (data=4, points=2);
+            # shared parser rejects junk like ',' instead of ignoring it
+            from .parallel import parse_mesh_shape
+            p.add_argument("--mesh_shape", type=parse_mesh_shape,
                            default=default)
         elif f.name == "mesh_axes":
             continue  # set programmatically

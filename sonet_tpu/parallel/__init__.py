@@ -2,7 +2,11 @@
 single-GPU only, SURVEY.md §2.3)."""
 
 from .mesh import (make_mesh, batch_specs, shard_batch,
-                   shard_stacked, replicate)
+                   shard_stacked, replicate,
+                   parse_mesh_shape, normalize_mesh_shape,
+                   check_mesh_divisible)
 
 __all__ = ["make_mesh", "batch_specs", "shard_batch",
-           "shard_stacked", "replicate"]
+           "shard_stacked", "replicate",
+           "parse_mesh_shape", "normalize_mesh_shape",
+           "check_mesh_divisible"]

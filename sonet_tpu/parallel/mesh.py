@@ -46,6 +46,50 @@ def make_mesh(shape: Sequence[int] = None,
     return Mesh(arr, tuple(axis_names))
 
 
+def normalize_mesh_shape(shape: Sequence[int]) -> tuple:
+    """Validate a (data[, points]) mesh shape and pad it to 2 axes.
+
+    Raises ValueError on anything but 1-2 positive ints."""
+    try:
+        norm = tuple(int(s) for s in shape)
+    except (TypeError, ValueError):
+        raise ValueError(f"mesh shape {shape!r}: want (data,) or "
+                         f"(data, points) positive ints") from None
+    if not 1 <= len(norm) <= 2 or any(s < 1 for s in norm):
+        raise ValueError(f"mesh shape {shape!r}: want (data,) or "
+                         f"(data, points) positive ints")
+    return norm + (1,) * (2 - len(norm))
+
+
+def parse_mesh_shape(text: str) -> tuple:
+    """Parse a CLI mesh-shape string ('4,2', '4x2', '8') to a normalized
+    2-tuple.  One parser for every entry point (tasks/{infer,serve}.py,
+    ServingEngine) so junk like ',' or 'x' is rejected everywhere."""
+    tokens = [t.strip() for t in str(text).replace("x", ",").split(",")]
+    tokens = [t for t in tokens if t]
+    if not tokens:
+        raise ValueError(f"mesh shape {text!r}: no axis sizes found "
+                         f"(want e.g. '8' or '4,2')")
+    try:
+        shape = tuple(int(t) for t in tokens)
+    except ValueError:
+        raise ValueError(f"mesh shape {text!r}: want comma- or "
+                         f"'x'-separated positive ints") from None
+    return normalize_mesh_shape(shape)
+
+
+def check_mesh_divisible(shape: Sequence[int], batch_size: int,
+                         input_pc_num: int) -> None:
+    """Serving-layout divisibility: batch over 'data', points over
+    'points'.  Raises ValueError with the offending axis."""
+    if batch_size % shape[0]:
+        raise ValueError(f"batch_size {batch_size} must divide over the "
+                         f"data axis ({shape[0]})")
+    if input_pc_num % shape[1]:
+        raise ValueError(f"input_pc_num {input_pc_num} must divide over "
+                         f"the points axis ({shape[1]})")
+
+
 def batch_specs(cfg=None) -> Dict[str, P]:
     """PartitionSpecs for a task batch dict: batch dim on 'data', point
     dim on 'points'; per-shape small tensors (nodes, labels) replicated

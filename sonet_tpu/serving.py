@@ -32,8 +32,9 @@ cross-checked in tests/test_export.py.
 
 ``export_run(..., poly_batch=True)`` exports with a symbolic batch
 dimension instead (manifest shapes carry ``None``): one artifact, any
-batch size, at the cost of a compile per distinct batch size at load
-time (and the portable pooling path).
+batch size, at the cost of a compile per dispatched batch size at load
+time (``ServingEngine`` pads requests to power-of-2 buckets to bound
+that) and the portable pooling path.
 """
 
 from __future__ import annotations
@@ -98,8 +99,12 @@ def _restore_run(run_dir: str, batch_size: Optional[int] = None,
     """Restore a finished run for serving: ``(cfg, model, state, ckpt)``.
 
     ``mesh_shape`` is the SERVING mesh (data[, points]) — independent of
-    whatever the run trained on; setting it makes pooling resolution
-    pick the shardable scatter form (encoder.resolve_pooling)."""
+    whatever the run trained on.  A >1-device mesh forces the shardable
+    scatter pooling form even when the run's config pins
+    ``pooling='sorted_window'`` (the Pallas kernel has no partitioning
+    rules; resolve_pooling only remaps 'auto')."""
+    import math
+
     import jax
     import jax.numpy as jnp
 
@@ -112,6 +117,8 @@ def _restore_run(run_dir: str, batch_size: Optional[int] = None,
     if mesh_shape:
         cfg = cfg.replace(mesh_shape=tuple(mesh_shape),
                           mesh_axes=("data", "points"))
+        if pooling is None and math.prod(mesh_shape) > 1:
+            pooling = "scatter"
     else:
         cfg = cfg.replace(mesh_shape=(1, 1))
     if pooling:
@@ -227,10 +234,17 @@ def load_exported(artifact_dir: str):
                     w is not None and w != g for w, g in zip(want, a.shape)):
                 raise ValueError(f"input {i['name']}: expected shape "
                                  f"{want}, got {list(a.shape)}")
-        if manifest.get("poly_batch") and len(
-                {a.shape[0] for a in cast}) > 1:
-            raise ValueError("inconsistent batch sizes across inputs: "
-                             f"{[a.shape[0] for a in cast]}")
+        if manifest.get("poly_batch"):
+            sizes = {a.shape[0] for a in cast}
+            if len(sizes) > 1:
+                raise ValueError("inconsistent batch sizes across inputs: "
+                                 f"{[a.shape[0] for a in cast]}")
+            if 0 in sizes:
+                # jax.export dimension variables are constrained >= 1;
+                # fail here with a clear message instead of a symbolic
+                # shape-constraint error naming 'b'
+                raise ValueError("empty request batch (B=0); poly_batch "
+                                 "artifacts require B >= 1")
         return exported.call(*cast)
 
     return fn, manifest
@@ -281,23 +295,15 @@ class ServingEngine:
         from .nn.encoder import resolve_pooling
 
         mesh = None
+        shape = None
         if mesh_shape:
-            shape = tuple(int(s) for s in mesh_shape)
-            if not 1 <= len(shape) <= 2 or any(s < 1 for s in shape):
-                raise ValueError(f"mesh_shape {mesh_shape!r}: want "
-                                 f"(data,) or (data, points) positive ints")
-            shape += (1,) * (2 - len(shape))
+            from .parallel import normalize_mesh_shape
+            shape = normalize_mesh_shape(mesh_shape)
         cfg, model, state, ckpt = _restore_run(
-            run_dir, batch_size, checkpoint,
-            mesh_shape=(shape if mesh_shape else None))
-        if mesh_shape:
-            from .parallel import make_mesh, replicate
-            if cfg.batch_size % shape[0]:
-                raise ValueError(f"batch_size {cfg.batch_size} must divide "
-                                 f"over the data axis ({shape[0]})")
-            if cfg.input_pc_num % shape[1]:
-                raise ValueError(f"input_pc_num {cfg.input_pc_num} must "
-                                 f"divide over the points axis ({shape[1]})")
+            run_dir, batch_size, checkpoint, mesh_shape=shape)
+        if shape:
+            from .parallel import check_mesh_divisible, make_mesh, replicate
+            check_mesh_divisible(shape, cfg.batch_size, cfg.input_pc_num)
             mesh = make_mesh(shape, ("data", "points"))
             state = replicate(state, mesh)
         serve = jax.jit(build_serve_fn(model, cfg, state.params,
@@ -374,8 +380,19 @@ class ServingEngine:
         t0 = time.perf_counter()
         outs = []
         with self._lock:
-            if B is None:  # poly_batch artifact: one dispatch, any B'
-                out = np.asarray(self._fn(*arrays))
+            if B is None:
+                # poly_batch artifact: one dispatch, any B' — but each
+                # distinct dispatched size compiles once, so pad B' up to
+                # a power-of-2 bucket (padding replicates the last item,
+                # sliced off below).  Bounds compiles at log2(max B')
+                # instead of one per distinct request size; warmup covers
+                # bucket 1 only, other buckets compile on first use.
+                Bp = 1 << max(B_req - 1, 0).bit_length()
+                if Bp != B_req:
+                    arrays = [np.concatenate(
+                        [a, np.repeat(a[-1:], Bp - B_req, axis=0)])
+                        for a in arrays]
+                out = np.asarray(self._fn(*arrays))[:B_req]
                 self.requests += 1
                 self.items += B_req
                 self.total_s += time.perf_counter() - t0

@@ -91,24 +91,21 @@ def main(argv=None):
     # run's config (a run trained on 1 chip can serve on 8)
     mesh = None
     if args.mesh_shape:
-        from sonet_tpu.parallel import make_mesh, replicate
-        shape = tuple(int(t) for t in
-                      args.mesh_shape.replace("x", ",").split(",") if t)
-        if not 1 <= len(shape) <= 2 or any(s < 1 for s in shape):
-            raise SystemExit(f"--mesh_shape {args.mesh_shape!r}: want "
-                             f"'data' or 'data,points' positive ints")
-        shape += (1,) * (2 - len(shape))
+        from sonet_tpu.parallel import (check_mesh_divisible, make_mesh,
+                                        parse_mesh_shape, replicate)
+        try:
+            shape = parse_mesh_shape(args.mesh_shape)
+            check_mesh_divisible(shape, cfg.batch_size, cfg.input_pc_num)
+        except ValueError as e:
+            raise SystemExit(f"--mesh_shape: {e}")
         mesh = make_mesh(shape, ("data", "points"))
         # keep cfg consistent so pooling resolution sees the mesh
-        # (the Pallas kernel has no partitioning rules)
+        # (the Pallas kernel has no partitioning rules); a run that
+        # PINNED pooling='sorted_window' must fall back too
         cfg = cfg.replace(mesh_shape=shape,
                           mesh_axes=("data", "points"))
-        if cfg.batch_size % shape[0]:
-            raise SystemExit(f"batch_size {cfg.batch_size} must divide "
-                             f"over the data axis ({shape[0]})")
-        if cfg.input_pc_num % shape[1]:
-            raise SystemExit(f"input_pc_num {cfg.input_pc_num} must "
-                             f"divide over the points axis ({shape[1]})")
+        if int(np.prod(shape)) > 1 and cfg.pooling == "sorted_window":
+            cfg = cfg.replace(pooling="scatter")
     else:
         cfg = cfg.replace(mesh_shape=(1, 1))
     out_dir = args.out or os.path.join(args.run, "infer")

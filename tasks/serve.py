@@ -144,13 +144,11 @@ def main(argv=None):
     else:
         mesh_shape = None
         if args.mesh_shape:
+            from sonet_tpu.parallel import parse_mesh_shape
             try:
-                mesh_shape = tuple(
-                    int(t) for t in
-                    args.mesh_shape.replace("x", ",").split(",") if t)
-            except ValueError:
-                raise SystemExit(f"--mesh_shape {args.mesh_shape!r}: want "
-                                 f"comma-separated ints")
+                mesh_shape = parse_mesh_shape(args.mesh_shape)
+            except ValueError as e:
+                raise SystemExit(f"--mesh_shape: {e}")
         engine = ServingEngine.from_run(args.run, batch_size=args.batch_size,
                                         checkpoint=args.checkpoint,
                                         mesh_shape=mesh_shape)

@@ -121,13 +121,19 @@ class TestExportRoundtrip:
         with pytest.raises(ValueError, match="inconsistent batch"):
             fn(full[0][:2], full[1][:3], full[2][:2])
 
-        # the ServingEngine dispatches poly artifacts without chunk/pad
+        # B=0 gives a clear error, not a symbolic-shape constraint one
+        with pytest.raises(ValueError, match="empty request batch"):
+            fn(*(a[:0] for a in full))
+
+        # the ServingEngine pads poly requests to power-of-2 buckets
+        # (bounds compile count) and slices the padding back off
         from sonet_tpu.serving import ServingEngine
         eng = ServingEngine.from_artifact(os.path.join(run, "export"))
         assert eng.batch_size is None
         got = eng.predict({"pc": full[0][:3], "sn": full[1][:3],
                            "node": full[2][:3]})
         np.testing.assert_allclose(got, want[:3], rtol=1e-5, atol=1e-5)
+        assert eng.stats()["items"] == 3  # counts real rows, not padding
 
     def test_export_cli(self, tmp_path):
         run = _train_tiny(tmp_path, name="exp_cli")

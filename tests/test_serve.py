@@ -113,6 +113,26 @@ class TestServingEngine:
         with pytest.raises(ValueError, match="divide"):
             ServingEngine.from_run(run_dir, mesh_shape=(3,))
 
+    def test_mesh_engine_forces_shardable_pooling(self, run_dir):
+        """A run whose config PINS pooling='sorted_window' (the Pallas
+        kernel, no partitioning rules) must still serve on a mesh: the
+        engine falls back to the shardable scatter form."""
+        cfg_path = os.path.join(run_dir, "config.json")
+        with open(cfg_path) as f:
+            saved = f.read()
+        cfg = json.loads(saved)
+        cfg["pooling"] = "sorted_window"
+        try:
+            with open(cfg_path, "w") as f:
+                json.dump(cfg, f)
+            eng = ServingEngine.from_run(run_dir, mesh_shape=(2,))
+            assert eng.manifest["pooling"] == "scatter"
+            out = eng.predict(_inputs(eng, 2, seed=5))
+            assert np.isfinite(out).all()
+        finally:
+            with open(cfg_path, "w") as f:
+                f.write(saved)
+
     def test_artifact_engine_matches_run_engine(self, run_dir, engine):
         export_run(run_dir, platforms=["cpu"])
         art = ServingEngine.from_artifact(os.path.join(run_dir, "export"))

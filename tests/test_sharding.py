@@ -39,6 +39,29 @@ class TestMesh:
         with pytest.raises(ValueError, match="devices.*visible"):
             make_mesh((16, 1))
 
+    def test_parse_mesh_shape(self):
+        """One CLI parser for every entry point (tasks/{infer,serve}.py,
+        ServingEngine.from_run): '4,2' / '4x2' / '8' parse, junk like a
+        bare separator is rejected instead of silently ignored."""
+        from sonet_tpu.parallel import (check_mesh_divisible,
+                                        normalize_mesh_shape,
+                                        parse_mesh_shape)
+        assert parse_mesh_shape("4,2") == (4, 2)
+        assert parse_mesh_shape("4x2") == (4, 2)
+        assert parse_mesh_shape("8") == (8, 1)
+        assert parse_mesh_shape(" 2 , 2 ") == (2, 2)
+        for bad in (",", "x", "", "a,b", "0", "-1", "2,0", "2,2,2"):
+            with pytest.raises(ValueError):
+                parse_mesh_shape(bad)
+        assert normalize_mesh_shape((4,)) == (4, 1)
+        with pytest.raises(ValueError):
+            normalize_mesh_shape((1, 2, 3))
+        check_mesh_divisible((4, 2), 8, 64)
+        with pytest.raises(ValueError, match="data axis"):
+            check_mesh_divisible((3, 1), 8, 64)
+        with pytest.raises(ValueError, match="points axis"):
+            check_mesh_divisible((1, 3), 8, 64)
+
     def test_shard_batch_placement(self):
         cfg = cfg_mod.tiny_test().replace(batch_size=8, input_pc_num=64)
         mesh = make_mesh((4, 2))
