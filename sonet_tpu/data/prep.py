@@ -10,6 +10,9 @@ Subcommands:
   write them in the layouts the loaders expect:
   ModelNet: ``<root>/<rows>x<cols>_som_nodes/<class>/<name>.npy``;
   npz datasets: adds a ``som_node`` key next to {pc, sn, ...}.
+* ``check``   — validate a prepared tree against a loader layout
+  (split lists, file existence, array shapes/finiteness) BEFORE
+  training instead of crashing mid-epoch in a loader worker.
 
 The SOM fit samples ``--som_sample`` points per shape (4096, matching
 save_som.ipynb cell 1), stacks shapes into batches and runs the jitted
@@ -138,6 +141,178 @@ def cmd_sample(args) -> None:
     print(f"sampled {len(objs)} meshes -> {args.out}")
 
 
+def _finite(a: np.ndarray) -> bool:
+    return bool(np.isfinite(a).all())
+
+
+def cmd_check(args) -> None:
+    """Validate a prepared dataset tree against a loader layout.
+
+    The reference has no such tool — a wrong path/shape surfaces as a
+    mid-training crash deep in a DataLoader worker.  Checks split lists,
+    the existence of every referenced file, and (for ``--load`` sampled
+    items per split) array shapes/dtypes/finiteness the loaders rely on.
+    Exits nonzero and lists problems if anything is off."""
+    import json as _json
+
+    from ..config import Config
+
+    rows = args.rows
+    M = rows * rows
+    problems: List[str] = []
+    counts = {}
+    loaded = 0
+
+    def sample_idx(n: int) -> List[int]:
+        if args.load < 0 or args.load >= n:
+            return list(range(n))
+        return sorted({int(i) for i in
+                       np.linspace(0, n - 1, max(args.load, 1))})
+
+    def check_cloud(path, arr, name, width=3, n_ref=None):
+        nonlocal loaded
+        loaded += 1
+        if arr.ndim != 2 or arr.shape[1] < width:
+            problems.append(f"{path}: {name} shape {arr.shape}, want "
+                            f"(N, >={width})")
+            return None
+        if n_ref is not None and arr.shape[0] != n_ref:
+            problems.append(f"{path}: {name} has {arr.shape[0]} rows, "
+                            f"pc has {n_ref}")
+        if arr.shape[0] < args.min_points:
+            problems.append(f"{path}: only {arr.shape[0]} points "
+                            f"(< --min_points {args.min_points})")
+        if not _finite(arr):
+            problems.append(f"{path}: {name} has non-finite values")
+        return arr.shape[0]
+
+    def check_som(path, node, where):
+        if node.shape != (M, 3):
+            problems.append(f"{where}: som_node shape {node.shape}, want "
+                            f"({M}, 3) for --rows {rows}")
+        elif not _finite(node):
+            problems.append(f"{where}: som_node has non-finite values")
+
+    if args.layout == "modelnet":
+        from .modelnet import make_dataset_modelnet
+        cfg = Config(classes=args.classes, node_num=M)
+        for mode in ("train", "test"):
+            try:
+                items = make_dataset_modelnet(args.root, mode, cfg)
+            except FileNotFoundError as e:
+                counts[mode] = None  # split absent: note, not a failure
+                print(f"  note: no {mode} split ({e})", file=sys.stderr)
+                continue
+            except (OSError, ValueError) as e:
+                problems.append(f"{mode} split unreadable: {e}")
+                continue
+            counts[mode] = len(items)
+            missing = [p for it in items for p in (it[0], it[2])
+                       if not os.path.exists(p)]
+            problems.extend(f"missing: {p}" for p in missing[:20])
+            if len(missing) > 20:
+                problems.append(f"... {len(missing) - 20} more missing "
+                                f"in {mode}")
+            for i in sample_idx(len(items)):
+                pc_path, _, som_path = items[i]
+                if not os.path.exists(pc_path) or not os.path.exists(som_path):
+                    continue
+                data = np.load(pc_path)
+                check_cloud(pc_path, data, "pc+normal", width=6)
+                check_som(som_path, np.load(som_path), som_path)
+    elif args.layout == "shrec":
+        from .modelnet import make_dataset_shrec2016
+        cfg = Config(node_num=M)
+        for mode in ("train", "val", "test"):
+            try:
+                items = make_dataset_shrec2016(args.root, mode, cfg)
+            except FileNotFoundError as e:
+                counts[mode] = None
+                print(f"  note: no {mode} split ({e})", file=sys.stderr)
+                continue
+            except (OSError, ValueError) as e:
+                problems.append(f"{mode} split unreadable: {e}")
+                continue
+            counts[mode] = len(items)
+            missing = [it[0] for it in items if not os.path.exists(it[0])]
+            problems.extend(f"missing: {p}" for p in missing[:20])
+            if len(missing) > 20:
+                problems.append(f"... {len(missing) - 20} more missing "
+                                f"in {mode}")
+            for i in sample_idx(len(items)):
+                path = items[i][0]
+                if not os.path.exists(path):
+                    continue
+                with np.load(path) as z:
+                    keys = set(z.files)
+                    if not {"pc", "sn", "som_node"} <= keys:
+                        problems.append(f"{path}: npz keys {sorted(keys)}, "
+                                        f"want pc/sn/som_node")
+                        continue
+                    n = check_cloud(path, z["pc"], "pc")
+                    check_cloud(path, z["sn"], "sn", n_ref=n)
+                    check_som(path, z["som_node"], path)
+    elif args.layout == "shapenet":
+        from .shapenet import FOLDERS, make_dataset_shapenet
+        for mode in ("train", "test"):
+            try:
+                entries = make_dataset_shapenet(args.root, mode)
+            except FileNotFoundError as e:
+                counts[mode] = None
+                print(f"  note: no {mode} split ({e})", file=sys.stderr)
+                continue
+            except (OSError, ValueError) as e:
+                problems.append(f"{mode} split unreadable: {e}")
+                continue
+            counts[mode] = len(entries)
+            paths = []
+            for e in entries:
+                file = e[11:]  # strip 'shape_data/' (shapenet.py)
+                if file[0:8] not in FOLDERS:
+                    problems.append(f"{mode}: unknown category folder in "
+                                    f"split entry {e!r}")
+                    continue
+                paths.append(os.path.join(args.root,
+                                          f"{file}_{rows}x{rows}.npz"))
+            missing = [p for p in paths if not os.path.exists(p)]
+            problems.extend(f"missing: {p}" for p in missing[:20])
+            if len(missing) > 20:
+                problems.append(f"... {len(missing) - 20} more missing "
+                                f"in {mode}")
+            for i in sample_idx(len(paths)):
+                path = paths[i]
+                if not os.path.exists(path):
+                    continue
+                with np.load(path) as z:
+                    keys = set(z.files)
+                    if not {"pc", "sn", "part_label", "som_node"} <= keys:
+                        problems.append(f"{path}: npz keys {sorted(keys)}, "
+                                        f"want pc/sn/part_label/som_node")
+                        continue
+                    n = check_cloud(path, z["pc"], "pc")
+                    check_cloud(path, z["sn"], "sn", n_ref=n)
+                    check_som(path, z["som_node"], path)
+                    pl = z["part_label"]
+                    if n is not None and pl.shape != (n,):
+                        problems.append(f"{path}: part_label shape "
+                                        f"{pl.shape}, want ({n},)")
+                    elif pl.size and (pl.min() < 0 or pl.max() >= 50):
+                        problems.append(f"{path}: part_label range "
+                                        f"[{pl.min()}, {pl.max()}], want "
+                                        f"[0, 50)")
+
+    report = {"layout": args.layout, "root": args.root, "splits": counts,
+              "items_loaded": loaded, "problems": len(problems),
+              "ok": not problems}
+    print(_json.dumps(report))
+    for p in problems[:50]:
+        print(f"  {p}", file=sys.stderr)
+    if len(problems) > 50:
+        print(f"  ... {len(problems) - 50} more", file=sys.stderr)
+    if problems:
+        sys.exit(1)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="sonet_tpu.data.prep")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +336,20 @@ def main(argv=None) -> None:
                     choices=("prep", "online"))
     pm.add_argument("--seed", type=int, default=0)
     pm.set_defaults(fn=cmd_som)
+
+    pc = sub.add_parser("check", help="validate a prepared dataset tree")
+    pc.add_argument("--root", required=True)
+    pc.add_argument("--layout", required=True,
+                    choices=("modelnet", "shrec", "shapenet"))
+    pc.add_argument("--rows", type=int, default=8)
+    pc.add_argument("--classes", type=int, default=40,
+                    help="modelnet split-file prefix (modelnet only)")
+    pc.add_argument("--load", type=int, default=16,
+                    help="items to fully load per split (-1 = all; "
+                         "existence is always checked for every file)")
+    pc.add_argument("--min_points", type=int, default=1,
+                    help="minimum raw points per shape")
+    pc.set_defaults(fn=cmd_check)
 
     args = p.parse_args(argv)
     args.fn(args)

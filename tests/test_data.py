@@ -226,6 +226,76 @@ class TestPrepCLI:
             np.testing.assert_allclose(a, b, atol=2e-5)
             assert b.flags["C_CONTIGUOUS"]
 
+    def test_check_modelnet_clean_and_broken(self, tmp_path, capsys):
+        from sonet_tpu.data import prep
+        cfg = tiny().replace(classes=10)
+        root = _fake_modelnet(tmp_path, cfg)
+        rows = cfg.rows
+        prep.main(["check", "--root", root, "--layout", "modelnet",
+                   "--classes", "10", "--rows", str(rows), "--load", "-1"])
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["ok"] and report["splits"] == {"train": 4, "test": 2}
+
+        # break the tree three ways: delete a cloud, corrupt a SOM
+        # shape, inject a NaN
+        import glob as _glob
+        clouds = sorted(_glob.glob(os.path.join(root, "*", "*.npy")))
+        os.remove(clouds[0])
+        soms = sorted(_glob.glob(os.path.join(
+            root, f"{rows}x{rows}_som_nodes", "*", "*.npy")))
+        np.save(soms[1], np.zeros((3, 3), np.float32))
+        bad = np.load(clouds[1])
+        bad[0, 0] = np.nan
+        np.save(clouds[1], bad)
+        with pytest.raises(SystemExit):
+            prep.main(["check", "--root", root, "--layout", "modelnet",
+                       "--classes", "10", "--rows", str(rows),
+                       "--load", "-1"])
+        out = capsys.readouterr()
+        report = json.loads(out.out.strip().splitlines()[-1])
+        assert not report["ok"] and report["problems"] >= 3
+        assert "missing" in out.err and "non-finite" in out.err
+        assert "som_node shape" in out.err
+
+    def test_check_shapenet(self, tmp_path, capsys):
+        from sonet_tpu.data import prep
+        cfg = tiny()
+        root = _fake_shapenet(tmp_path, cfg)
+        prep.main(["check", "--root", root, "--layout", "shapenet",
+                   "--rows", str(cfg.rows), "--load", "-1"])
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["ok"]
+        # out-of-range part labels are caught
+        import glob as _glob
+        f = sorted(_glob.glob(os.path.join(root, "*", "*.npz")))[0]
+        data = dict(np.load(f))
+        data["part_label"] = np.full_like(data["part_label"], 99)
+        np.savez(f, **data)
+        with pytest.raises(SystemExit):
+            prep.main(["check", "--root", root, "--layout", "shapenet",
+                       "--rows", str(cfg.rows), "--load", "-1"])
+        assert "part_label range" in capsys.readouterr().err
+
+    def test_check_shrec_missing_split_is_note(self, tmp_path, capsys):
+        """A tree without test.txt still checks clean (note, not error)."""
+        from sonet_tpu.data import prep
+        root = tmp_path / "shrec"
+        rs = np.random.RandomState(3)
+        (root / "4x4" / "train").mkdir(parents=True)
+        (root / "category.txt").write_text("cat_a\n")
+        (root / "train.txt").write_text("000001,cat_a\n")
+        np.savez(root / "4x4" / "train" / "model_000001.npz",
+                 pc=rs.randn(50, 3).astype(np.float32),
+                 sn=rs.randn(50, 3).astype(np.float32),
+                 som_node=rs.randn(16, 3).astype(np.float32))
+        prep.main(["check", "--root", str(root), "--layout", "shrec",
+                   "--rows", "4", "--load", "-1"])
+        out = capsys.readouterr()
+        report = json.loads(out.out.strip().splitlines()[-1])
+        assert report["ok"] and report["splits"]["train"] == 1
+        assert report["splits"]["val"] is None
+        assert "note: no val split" in out.err
+
     def test_sample_subcommand(self, tmp_path):
         from sonet_tpu.data import prep
         mesh_dir = tmp_path / "meshes"
