@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import threading
 import time
 from typing import Any, Callable, Optional
@@ -270,9 +271,13 @@ class ServingEngine:
     def __init__(self, fn: Callable, manifest: dict):
         self._fn = fn
         self.manifest = manifest
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()        # device dispatch
+        self._stats_lock = threading.Lock()  # traffic counters
+        self._batcher: Optional[_MicroBatcher] = None
         self.requests = 0
         self.items = 0
+        self.dispatches = 0
+        self.coalesced = 0  # requests that shared a dispatch with others
         self.total_s = 0.0
 
     # -- constructors -------------------------------------------------------
@@ -376,8 +381,22 @@ class ServingEngine:
         if not B_req:
             raise ValueError("empty request batch")
 
-        B = self.batch_size
         t0 = time.perf_counter()
+        if (self._batcher is not None
+                and (self.batch_size is None or B_req < self.batch_size)):
+            out = self._batcher.submit(arrays, B_req)
+        else:
+            out = self._dispatch(arrays, B_req)
+        with self._stats_lock:
+            self.requests += 1
+            self.items += B_req
+            self.total_s += time.perf_counter() - t0
+        return out
+
+    def _dispatch(self, arrays: list, B_req: int) -> np.ndarray:
+        """Run validated arrays through the compiled program (the
+        chunk/pad core); serialized on the device lock."""
+        B = self.batch_size
         outs = []
         with self._lock:
             if B is None:
@@ -392,32 +411,49 @@ class ServingEngine:
                     arrays = [np.concatenate(
                         [a, np.repeat(a[-1:], Bp - B_req, axis=0)])
                         for a in arrays]
-                out = np.asarray(self._fn(*arrays))[:B_req]
-                self.requests += 1
-                self.items += B_req
-                self.total_s += time.perf_counter() - t0
-                return out
+                self.dispatches += 1
+                return np.asarray(self._fn(*arrays))[:B_req]
             for s in range(0, B_req, B):
                 chunk = [a[s:s + B] for a in arrays]
                 n = chunk[0].shape[0]
                 if n < B:
                     chunk = [np.concatenate(
                         [c, np.repeat(c[-1:], B - n, axis=0)]) for c in chunk]
+                self.dispatches += 1
                 outs.append(np.asarray(self._fn(*chunk))[:n])
-            dt = time.perf_counter() - t0
-            self.requests += 1
-            self.items += B_req
-            self.total_s += dt
         return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+
+    # -- micro-batching ------------------------------------------------------
+
+    def start_microbatch(self, window_ms: float = 5.0) -> None:
+        """Coalesce CONCURRENT small requests into shared dispatches.
+
+        Peak device throughput is at the compiled batch (docs/SERVING.md:
+        B=8 fills the chip; a B=1 request wastes ~8x and still pays the
+        full dispatch round-trip).  With micro-batching on, a request
+        smaller than the compiled batch parks for up to ``window_ms``
+        while other requests arrive; parked requests are concatenated
+        into one padded dispatch and each caller gets exactly its own
+        rows back (per-row outputs are batch-independent in eval mode).
+        Single-client latency cost is bounded by ``window_ms``."""
+        if self._batcher is None:
+            self._batcher = _MicroBatcher(self, window_ms)
+
+    def stop_microbatch(self) -> None:
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
 
     def warmup(self) -> None:
         """Compile/execute once on zeros so the first request is fast."""
         zeros = {i["name"]: np.zeros([d or 1 for d in i["shape"]], i["dtype"])
                  for i in self.manifest["inputs"]}
-        before = (self.requests, self.items, self.total_s)
+        before = (self.requests, self.items, self.dispatches,
+                  self.coalesced, self.total_s)
         self.predict(zeros)
         # compile time isn't traffic: restore the counters
-        self.requests, self.items, self.total_s = before
+        (self.requests, self.items, self.dispatches, self.coalesced,
+         self.total_s) = before
 
     def stats(self) -> dict:
         return {
@@ -425,6 +461,86 @@ class ServingEngine:
             "batch_size": self.batch_size,
             "requests": self.requests,
             "items": self.items,
+            "dispatches": self.dispatches,
+            "coalesced_requests": self.coalesced,
+            "microbatch": self._batcher is not None,
             "avg_ms_per_item": (round(self.total_s / self.items * 1e3, 3)
                                 if self.items else None),
         }
+
+
+class _MicroBatcher:
+    """Request coalescer for :meth:`ServingEngine.start_microbatch`.
+
+    One collector thread: takes the first parked request, keeps
+    gathering until the compiled batch is filled or ``window_ms``
+    elapses, concatenates, runs ONE ``engine._dispatch`` and hands each
+    caller its own rows.  Errors from the shared dispatch propagate to
+    every participating caller."""
+
+    _CLOSE = object()
+
+    def __init__(self, engine: ServingEngine, window_ms: float):
+        self._engine = engine
+        self._window_s = max(window_ms, 0.0) / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="sonet-microbatch")
+        self._thread.start()
+
+    def submit(self, arrays: list, n: int) -> np.ndarray:
+        slot = {"done": threading.Event()}
+        self._q.put((arrays, n, slot))
+        slot["done"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["out"]
+
+    def close(self) -> None:
+        self._q.put(self._CLOSE)
+        self._thread.join(timeout=10)
+
+    def _loop(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is self._CLOSE:
+                return
+            group = [first]
+            total = first[1]
+            # a poly engine has no fixed batch; fill toward 8 (the
+            # measured throughput optimum, docs/SERVING.md)
+            B = self._engine.batch_size or 8
+            deadline = time.perf_counter() + self._window_s
+            while total < B:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is self._CLOSE:
+                    self._finish(group, total)
+                    return
+                group.append(nxt)
+                total += nxt[1]
+            self._finish(group, total)
+
+    def _finish(self, group: list, total: int) -> None:
+        arrays = [np.concatenate([g[0][i] for g in group])
+                  for i in range(len(group[0][0]))]
+        try:
+            out = self._engine._dispatch(arrays, total)
+        except Exception as e:  # propagate to every caller
+            for _, _, slot in group:
+                slot["error"] = e
+                slot["done"].set()
+            return
+        if len(group) > 1:
+            with self._engine._stats_lock:
+                self._engine.coalesced += len(group)
+        ofs = 0
+        for _, n, slot in group:
+            slot["out"] = out[ofs:ofs + n]
+            ofs += n
+            slot["done"].set()

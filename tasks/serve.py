@@ -127,6 +127,11 @@ def main(argv=None):
                     help="serve over a device mesh, e.g. '4,2' or '8' "
                          "(data[,points] axes; --run only — state "
                          "replicated, request batches sharded)")
+    ap.add_argument("--microbatch_ms", type=float, default=0.0,
+                    help="coalesce concurrent small requests into shared "
+                         "dispatches, waiting up to this many ms to fill "
+                         "the compiled batch (0 = off); bounds the added "
+                         "single-client latency")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip the compile-on-zeros warmup")
     ap.add_argument("--verbose", action="store_true",
@@ -154,6 +159,8 @@ def main(argv=None):
                                         mesh_shape=mesh_shape)
     if not args.no_warmup:
         engine.warmup()
+    if args.microbatch_ms > 0:
+        engine.start_microbatch(args.microbatch_ms)
 
     srv = make_server(engine, host=args.host, port=args.port,
                       quiet=not args.verbose)

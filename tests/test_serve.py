@@ -133,6 +133,63 @@ class TestServingEngine:
             with open(cfg_path, "w") as f:
                 f.write(saved)
 
+    def test_microbatch_coalesces_and_matches(self, run_dir, engine):
+        """Concurrent B=1 requests share a dispatch; every caller gets
+        exactly its own rows, identical to un-batched serving."""
+        eng = ServingEngine.from_run(run_dir)
+        eng.warmup()
+        B = eng.batch_size
+        full = _inputs(eng, B, seed=41)
+        want = engine.predict(full)
+        eng.start_microbatch(window_ms=200.0)  # generous: threads line up
+        try:
+            results = [None] * B
+            def one(i):
+                results[i] = eng.predict(
+                    {k: v[i:i + 1] for k, v in full.items()})
+            threads = [threading.Thread(target=one, args=(i,))
+                       for i in range(B)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            for i in range(B):
+                assert results[i] is not None, i
+                np.testing.assert_allclose(results[i], want[i:i + 1],
+                                           rtol=1e-5, atol=1e-5)
+            s = eng.stats()
+            assert s["requests"] == B and s["items"] == B
+            assert s["microbatch"]
+            # at least some requests shared a dispatch (the 200 ms
+            # window is >> thread startup skew)
+            assert s["dispatches"] < B
+            assert s["coalesced_requests"] >= 2
+        finally:
+            eng.stop_microbatch()
+        # after stop, requests dispatch directly again
+        out = eng.predict({k: v[:1] for k, v in full.items()})
+        np.testing.assert_allclose(out, want[:1], rtol=1e-5, atol=1e-5)
+
+    def test_microbatch_single_request_window(self, run_dir, engine):
+        """A lone small request is not lost: it dispatches after the
+        window with correct rows, and full-batch requests bypass the
+        batcher entirely."""
+        eng = ServingEngine.from_run(run_dir)
+        eng.warmup()
+        B = eng.batch_size
+        full = _inputs(eng, B, seed=43)
+        want = engine.predict(full)
+        eng.start_microbatch(window_ms=1.0)
+        try:
+            out = eng.predict({k: v[:2] for k, v in full.items()})
+            np.testing.assert_allclose(out, want[:2], rtol=1e-5, atol=1e-5)
+            d_before = eng.stats()["dispatches"]
+            out = eng.predict(full)  # B_req == B: direct path
+            np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+            assert eng.stats()["dispatches"] == d_before + 1
+        finally:
+            eng.stop_microbatch()
+
     def test_artifact_engine_matches_run_engine(self, run_dir, engine):
         export_run(run_dir, platforms=["cpu"])
         art = ServingEngine.from_artifact(os.path.join(run_dir, "export"))
