@@ -10,7 +10,10 @@ package's parameter tree — purely key-driven, no reference code or GPU
 needed — and :func:`import_run` writes a standard run directory
 (``config.json`` + ``ckpt/``) that every entry point here accepts
 (tasks/infer.py, tasks/serve.py, tasks/export.py, ``--pretrain``
-transfer, resumed training).
+transfer, resumed training).  The inverse direction also exists:
+:func:`export_reference_checkpoint` writes a finished run back out as
+reference-loadable ``.pth`` files (encoder loads with ``strict=False``
+— the dead ``transformer`` sub-network has no weights here).
 
 Layout mapping (pinned numerically by tests/test_parity.py's
 weight-transplant parity suite; tests/test_compat.py checks this module
@@ -283,6 +286,187 @@ def import_reference_checkpoint(cfg: Config,
             stats[label] = s
     _check_against_model(cfg, params, stats)
     return {"params": params, "batch_stats": stats}
+
+
+def _inv_point_layer(p: Tree, s: Optional[Tree], kind: str,
+                     prefix: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_point_layer`: PointLayer subtree -> flat torch
+    keys.  ``kind``: conv1d (EquivariantLayer, layers.py:252), conv2d
+    (MyConv2d, layers.py:175), linear (MyLinear, layers.py:129)."""
+    out = {}
+    k = np.asarray(p["Dense_0"]["kernel"], np.float32)  # (Cin, Cout)
+    b = np.asarray(p["Dense_0"]["bias"], np.float32)
+    if kind == "conv1d":
+        out[f"{prefix}conv.weight"] = np.ascontiguousarray(k.T[:, :, None])
+        out[f"{prefix}conv.bias"] = b
+    elif kind == "conv2d":
+        out[f"{prefix}conv.weight"] = np.ascontiguousarray(
+            k.T[:, :, None, None])
+        out[f"{prefix}conv.bias"] = b
+    else:
+        out[f"{prefix}linear.weight"] = np.ascontiguousarray(k.T)
+        out[f"{prefix}linear.bias"] = b
+    if "BatchNorm_0" in p:
+        st = (s or {})["BatchNorm_0"]
+        out[f"{prefix}norm.weight"] = np.asarray(
+            p["BatchNorm_0"]["scale"], np.float32)
+        out[f"{prefix}norm.bias"] = np.asarray(
+            p["BatchNorm_0"]["bias"], np.float32)
+        out[f"{prefix}norm.running_mean"] = np.asarray(st["mean"],
+                                                       np.float32)
+        out[f"{prefix}norm.running_var"] = np.asarray(st["var"], np.float32)
+        out[f"{prefix}norm.num_batches_tracked"] = np.asarray(0, np.int64)
+    return out
+
+
+def _inv_stack(p: Tree, s: Optional[Tree], kind: str,
+               prefix: str) -> Dict[str, np.ndarray]:
+    out = {}
+    for name in sorted(p, key=lambda n: int(n.split("_")[1])):
+        i = int(name.split("_")[1])
+        out.update(_inv_point_layer(p[name], (s or {}).get(name), kind,
+                                    f"{prefix}layers.{i}."))
+    return out
+
+
+def encoder_state_dict(params: Tree, stats: Tree) -> Dict[str, np.ndarray]:
+    """Encoder tree -> reference-module state_dict arrays.
+
+    The dead ``transformer`` sub-network has no counterpart here; load
+    the result with ``strict=False`` (its weights are never used,
+    networks.py:147-164)."""
+    kinds = {"first_pointnet": "conv1d", "knnlayer": "conv2d",
+             "final_pointnet": "conv1d"}
+    out = {}
+    for sub in ("first_pointnet", "knnlayer", "final_pointnet"):
+        if sub in params:
+            out.update(_inv_stack(params[sub], stats.get(sub), kinds[sub],
+                                  f"{sub}."))
+    return out
+
+
+def classifier_state_dict(params: Tree, stats: Tree) -> Dict[str, np.ndarray]:
+    out = {}
+    for name in ("fc1", "fc2", "fc3"):
+        out.update(_inv_point_layer(params[name], stats.get(name), "linear",
+                                    f"{name}."))
+    return out
+
+
+def segmenter_state_dict(params: Tree, stats: Tree) -> Dict[str, np.ndarray]:
+    out = {}
+    for i in range(1, 6):
+        out.update(_inv_point_layer(params[f"layer{i}"],
+                                    stats.get(f"layer{i}"), "conv1d",
+                                    f"layer{i}."))
+    return out
+
+
+def decoder_state_dict(params: Tree, stats: Tree) -> Dict[str, np.ndarray]:
+    out = {}
+    if "fc_decoder" in params:
+        fp, fs = params["fc_decoder"], stats.get("fc_decoder", {})
+        for i, name in enumerate(("linear1", "linear2", "linear3")):
+            out.update(_inv_point_layer(fp[f"PointLayer_{i}"],
+                                        fs.get(f"PointLayer_{i}"), "linear",
+                                        f"fc_decoder.{name}."))
+        out["fc_decoder.linear_out.linear.weight"] = np.ascontiguousarray(
+            np.asarray(fp["linear_out"]["kernel"], np.float32).T)
+        out["fc_decoder.linear_out.linear.bias"] = np.asarray(
+            fp["linear_out"]["bias"], np.float32)
+    if "conv_decoder" in params:
+        cp, cs = params["conv_decoder"], stats.get("conv_decoder", {})
+        for n in range(1, 7):
+            up, us = cp[f"UpConv_{n - 1}"], cs.get(f"UpConv_{n - 1}", {})
+            w = np.asarray(up["Conv_0"]["kernel"], np.float32)  # (3,3,Ci,Co)
+            pre = f"conv_decoder.deconv{n}.conv."
+            out[f"{pre}conv.weight"] = np.ascontiguousarray(
+                w.transpose(3, 2, 0, 1))
+            out[f"{pre}conv.bias"] = np.asarray(up["Conv_0"]["bias"],
+                                                np.float32)
+            out[f"{pre}norm.weight"] = np.asarray(
+                up["BatchNorm_0"]["scale"], np.float32)
+            out[f"{pre}norm.bias"] = np.asarray(up["BatchNorm_0"]["bias"],
+                                                np.float32)
+            out[f"{pre}norm.running_mean"] = np.asarray(
+                us["BatchNorm_0"]["mean"], np.float32)
+            out[f"{pre}norm.running_var"] = np.asarray(
+                us["BatchNorm_0"]["var"], np.float32)
+            out[f"{pre}norm.num_batches_tracked"] = np.asarray(0, np.int64)
+        for j in (4, 5, 6):
+            tp = cp[f"ConvToPC_{j - 4}"]
+            ts = cs.get(f"ConvToPC_{j - 4}", {})
+            pre = f"conv_decoder.conv2pc{j}."
+            out.update(_inv_point_layer(tp["PointLayer_0"],
+                                        ts.get("PointLayer_0"), "conv2d",
+                                        f"{pre}conv1."))
+            k = np.asarray(tp["Dense_0"]["kernel"], np.float32)  # (Cin, 3)
+            out[f"{pre}conv2.conv.weight"] = np.ascontiguousarray(
+                k.T[:, :, None, None])
+            out[f"{pre}conv2.conv.bias"] = np.asarray(tp["Dense_0"]["bias"],
+                                                      np.float32)
+    return out
+
+
+_EXPORTERS = {"encoder": encoder_state_dict,
+              "classifier": classifier_state_dict,
+              "segmenter": segmenter_state_dict,
+              "decoder": decoder_state_dict}
+
+
+def export_reference_checkpoint(run_dir: str, out_dir: Optional[str] = None,
+                                checkpoint: Optional[str] = None
+                                ) -> Dict[str, str]:
+    """Inverse migration: a sonet_tpu run -> reference-loadable ``.pth``.
+
+    Writes ``<step>_net_<label>.pth`` per sub-network in the exact
+    format ``save_network`` produces (classifier.py:127-133).  Load the
+    encoder file into the reference with ``strict=False`` — the dead
+    ``transformer`` sub-network has no weights here (networks.py:78,
+    147-164); everything the forward pass reads is present.  Returns
+    ``{label: path}``."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("exporting .pth files needs torch") from e
+
+    from . import train
+    from .config import load_config
+    from .models import build_model
+
+    import jax
+    import jax.numpy as jnp
+
+    from .serving import input_signature
+
+    cfg = load_config(os.path.join(run_dir, "config.json"))
+    cfg = cfg.replace(mesh_shape=(1, 1))
+    model = build_model(cfg)
+    example = tuple(jnp.zeros(s, d) for _, s, d in input_signature(cfg))
+    state = train.init_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                             example)
+    ckpt = checkpoint or train.latest_checkpoint(os.path.join(run_dir,
+                                                              "ckpt"))
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint found under {run_dir}/ckpt")
+    state = train.restore_checkpoint(ckpt, state)
+    step = int(state.step)
+
+    out_dir = out_dir or os.path.join(run_dir, "reference_export")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for label, p in state.params.items():
+        s = (state.batch_stats or {}).get(label, {})
+        arrays = _EXPORTERS[label](
+            jax.tree_util.tree_map(np.asarray, p),
+            jax.tree_util.tree_map(np.asarray, s))
+        # copy: jax buffers are non-writable and torch tensors alias
+        sd = {k: torch.from_numpy(np.array(v, copy=True))
+              for k, v in arrays.items()}
+        path = os.path.join(out_dir, f"{step}_net_{label}.pth")
+        torch.save(sd, path)
+        paths[label] = path
+    return paths
 
 
 def import_run(cfg: Config, files: Dict[str, str], out_dir: str,

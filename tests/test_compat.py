@@ -201,6 +201,68 @@ class TestImportRun:
         variables = compat.import_reference_checkpoint(rcfg, files)
         _assert_trees_equal(state.params, variables["params"], "restored")
 
+    def test_pth_roundtrip(self, ref, pth_files, tmp_path):
+        """import -> run dir -> export_reference_checkpoint reproduces
+        the original .pth contents bit-for-bit, and the exported files
+        load back into fresh reference modules (strict=False covers
+        only the dead transformer)."""
+        cfg, files = pth_files
+        run = str(tmp_path / "rt")
+        compat.import_run(cfg, files, run)
+        paths = compat.export_reference_checkpoint(
+            run, out_dir=str(tmp_path / "pth_out"))
+        assert set(paths) == {"encoder", "classifier"}
+
+        for label in ("encoder", "classifier"):
+            orig = compat.load_state_dict(files[label])
+            redo = compat.load_state_dict(paths[label])
+            # transformer weights are not representable here (dead code)
+            orig = {k: v for k, v in orig.items()
+                    if not k.startswith("transformer.")}
+            assert set(redo) == set(orig), label
+            for k in orig:
+                np.testing.assert_array_equal(redo[k], orig[k],
+                                              err_msg=f"{label}.{k}")
+
+        # fresh reference modules accept the exported files
+        tenc = ref.Encoder(tp.VirtualOpt(cfg))
+        missing, unexpected = tenc.load_state_dict(
+            torch.load(paths["encoder"], weights_only=True), strict=False)
+        assert not unexpected
+        assert all(k.startswith("transformer.") for k in missing), missing
+        tcls = ref.Classifier(tp.VirtualOpt(cfg))
+        tcls.load_state_dict(torch.load(paths["classifier"],
+                                        weights_only=True))  # strict
+
+    def test_pth_roundtrip_decoder_segmenter(self, ref, tmp_path):
+        """Same round-trip through the decoder and segmenter heads."""
+        for task, label, build in (
+                ("autoencode", "decoder", ref.Decoder),
+                ("segment", "segmenter", ref.Segmenter)):
+            cfg = tp._cfg().replace(
+                task=task, classes=(7 if task == "segment" else 5))
+            mod = build(tp.VirtualOpt(cfg))
+            tp._randomize_torch(mod, 51)
+            pth = str(tmp_path / f"1_net_{label}.pth")
+            torch.save(mod.cpu().state_dict(), pth)
+            run = str(tmp_path / f"rt_{label}")
+            enc = ref.Encoder(tp.VirtualOpt(cfg))
+            tp._randomize_torch(enc, 52)
+            encp = str(tmp_path / f"1_net_encoder_{label}.pth")
+            torch.save(enc.cpu().state_dict(), encp)
+            compat.import_run(cfg, {"encoder": encp, label: pth}, run)
+            paths = compat.export_reference_checkpoint(
+                run, out_dir=str(tmp_path / f"out_{label}"))
+            orig = compat.load_state_dict(pth)
+            redo = compat.load_state_dict(paths[label])
+            assert set(redo) == set(orig), label
+            for k in orig:
+                np.testing.assert_array_equal(redo[k], orig[k],
+                                              err_msg=f"{label}.{k}")
+            fresh = build(tp.VirtualOpt(cfg))
+            fresh.load_state_dict(torch.load(paths[label],
+                                             weights_only=True))  # strict
+
     def test_import_cli(self, pth_files, tmp_path):
         import importlib.util
         cfg, files = pth_files
