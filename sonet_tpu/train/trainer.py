@@ -159,6 +159,7 @@ class Trainer:
                 make_device_epoch_fns(self.model, cfg, self.steps_per_epoch)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self.best_metric = None
+        self._stop_requested = False
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch) -> Dict[str, jax.Array]:
@@ -247,6 +248,9 @@ class Trainer:
                     self.logger.log(int(self.state.step),
                                     {k: float(v) for k, v in metrics.items()},
                                     epoch=epoch, prefix="train_")
+                if self._stop_requested:  # per-step granularity on the
+                    break                 # host pipeline; device epochs
+                                          # stop at the epoch boundary
         if metrics is None:  # dataset smaller than one batch
             return {"sec_per_step": 0.0}
         # fetch forces completion: dispatch-only timing lies on remote
@@ -334,30 +338,74 @@ class Trainer:
                 int(self.state.step))
         return None
 
+    def request_stop(self) -> None:
+        """Ask fit() to stop at the next epoch boundary: it checkpoints
+        the full train state first, so a restart auto-resumes exactly
+        where it left off (the reference loses everything on SIGTERM —
+        its saves are metric-gated only, modelnet/train.py:96-103)."""
+        self._stop_requested = True
+
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT -> graceful stop (preemption-safe training);
+        a second SIGINT raises KeyboardInterrupt as usual.  No-op off
+        the main thread (signal.signal would raise)."""
+        import signal
+
+        def handler(signum, frame):
+            if self._stop_requested and signum == signal.SIGINT:
+                raise KeyboardInterrupt
+            self._stop_requested = True
+            print("stop requested: checkpointing at the next epoch "
+                  "boundary (again to force-quit)", flush=True)
+
+        prev = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev[sig] = signal.signal(sig, handler)
+        except ValueError:  # not the main thread
+            return {}
+        return prev
+
     def fit(self, epochs: Optional[int] = None,
             save_threshold: Optional[float] = None,
             visualize_every: int = 0) -> Dict[str, float]:
+        import signal
+
         epochs = epochs if epochs is not None else self.cfg.epochs
         test_metrics: Dict[str, float] = {}
         ckpt_bucket = 0  # last step // checkpoint_every already saved
-        for epoch in range(epochs):
-            tr = self.train_epoch(epoch)
-            viz = visualize_every > 0 and epoch % visualize_every == 0
-            test_metrics = self.evaluate(visualize=viz)
-            self.logger.log(int(self.state.step), test_metrics, epoch=epoch,
-                            prefix="test_")
-            saved = self.maybe_checkpoint(epoch, test_metrics,
-                                          threshold=save_threshold)
-            # --checkpoint_every N: ungated periodic saves every N steps,
-            # checked at epoch boundaries (with the epoch-scan pipeline
-            # the host only holds state between epochs) — in addition to
-            # the reference-style metric-gated saves above
-            if self.cfg.checkpoint_every > 0:
-                bucket = int(self.state.step) // self.cfg.checkpoint_every
-                if bucket > ckpt_bucket:
-                    ckpt_bucket = bucket
-                    if saved is None:  # gated save already wrote this step
+        prev_handlers = self._install_signal_handlers()
+        try:
+            for epoch in range(epochs):
+                tr = self.train_epoch(epoch)
+                viz = visualize_every > 0 and epoch % visualize_every == 0
+                test_metrics = self.evaluate(visualize=viz)
+                self.logger.log(int(self.state.step), test_metrics,
+                                epoch=epoch, prefix="test_")
+                saved = self.maybe_checkpoint(epoch, test_metrics,
+                                              threshold=save_threshold)
+                # --checkpoint_every N: ungated periodic saves every N
+                # steps, checked at epoch boundaries (with the epoch-scan
+                # pipeline the host only holds state between epochs) — in
+                # addition to the reference-style metric-gated saves above
+                if self.cfg.checkpoint_every > 0:
+                    bucket = int(self.state.step) // self.cfg.checkpoint_every
+                    if bucket > ckpt_bucket:
+                        ckpt_bucket = bucket
+                        if saved is None:  # gated save wrote this step
+                            saved = checkpoints.save_checkpoint(
+                                os.path.join(self.out_dir, "ckpt"),
+                                self.state, int(self.state.step))
+                if self._stop_requested:
+                    if saved is None:  # ungated: resume must not regress
                         checkpoints.save_checkpoint(
                             os.path.join(self.out_dir, "ckpt"), self.state,
                             int(self.state.step))
+                    self.logger.log(int(self.state.step),
+                                    {"stopped_early": 1.0}, epoch=epoch,
+                                    prefix="train_")
+                    break
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
         return test_metrics

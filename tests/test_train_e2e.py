@@ -122,6 +122,49 @@ class TestCheckpoint:
         ckpt_dir = os.path.join(t.out_dir, "ckpt")
         assert train.latest_checkpoint(ckpt_dir) is not None
 
+    def test_graceful_stop_checkpoints_and_resumes(self, tmp_path):
+        """request_stop(): fit stops at the epoch boundary with an
+        UNGATED checkpoint, and a fresh Trainer auto-resumes from it."""
+        from sonet_tpu.train.trainer import Trainer
+        cfg = cfg_mod.tiny_test().replace(
+            checkpoints_dir=str(tmp_path), name="gstop", epochs=6)
+        t = Trainer(cfg, quiet=True, resume=False)
+        t.request_stop()
+        t.fit(save_threshold=2.0)  # impossible gate: only the stop saves
+        stopped_at = int(t.state.step)
+        # host pipeline: per-step granularity — stops well short of the
+        # 6 requested epochs
+        assert 1 <= stopped_at <= t.steps_per_epoch
+        latest = train.latest_checkpoint(os.path.join(t.out_dir, "ckpt"))
+        assert latest is not None
+        assert latest.endswith(f"step_{stopped_at:08d}")
+        t2 = Trainer(cfg, quiet=True)  # resume=True default
+        assert int(t2.state.step) == stopped_at
+
+    def test_sigterm_graceful_stop(self, tmp_path):
+        """A real SIGTERM mid-fit stops training cleanly with a
+        checkpoint instead of killing the process (preemption safety;
+        the reference dies losing all progress)."""
+        import signal
+        import threading
+        from sonet_tpu.train.trainer import Trainer
+        cfg = cfg_mod.tiny_test().replace(
+            checkpoints_dir=str(tmp_path), name="sigterm", epochs=50)
+        t = Trainer(cfg, quiet=True, resume=False)
+        timer = threading.Timer(
+            0.2, lambda: os.kill(os.getpid(), signal.SIGTERM))
+        timer.start()
+        try:
+            t.fit(save_threshold=2.0)
+        finally:
+            timer.cancel()
+        assert t._stop_requested
+        assert int(t.state.step) < 50 * t.steps_per_epoch
+        assert train.latest_checkpoint(
+            os.path.join(t.out_dir, "ckpt")) is not None
+        # the previous SIGTERM disposition is restored after fit
+        assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
     def test_save_restore_roundtrip(self, tmp_path):
         cfg = cfg_mod.tiny_test()
         state, model, _, eval_step, loader, *_ = _train_some(cfg, steps=2)
