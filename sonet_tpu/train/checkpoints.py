@@ -38,12 +38,21 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
     return path
 
 
+def _finalized_steps(root: str) -> list:
+    """Completed checkpoint dirs only: orbax stages an atomic save in a
+    sibling ``step_XXXXXXXX.orbax-checkpoint-tmp-*`` dir, so a crash
+    mid-save leaves one behind — it must never be resumed from or
+    counted by GC."""
+    import re
+    pat = re.compile(r"^step_\d{8}$")
+    return sorted(d for d in os.listdir(root) if pat.fullmatch(d))
+
+
 def _gc(ckpt_dir: str, keep: int) -> None:
     root = _abs(ckpt_dir)
     if not os.path.isdir(root):
         return
-    steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
-    for d in steps[:-keep]:
+    for d in _finalized_steps(root)[:-keep]:
         import shutil
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
@@ -52,7 +61,7 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     root = _abs(ckpt_dir)
     if not os.path.isdir(root):
         return None
-    steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
+    steps = _finalized_steps(root)
     return os.path.join(root, steps[-1]) if steps else None
 
 

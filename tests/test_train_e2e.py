@@ -165,6 +165,36 @@ class TestCheckpoint:
         # the previous SIGTERM disposition is restored after fit
         assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
 
+    def test_training_is_seed_deterministic(self, tmp_path):
+        """Two Trainers with the same config/seed produce identical
+        metrics (data order, augmentation, dropout and init are all
+        seed-derived; nothing depends on thread timing)."""
+        from sonet_tpu.train.trainer import Trainer
+        outs = []
+        for tag in ("a", "b"):
+            cfg = cfg_mod.tiny_test().replace(
+                checkpoints_dir=str(tmp_path / tag), name="det", epochs=2)
+            t = Trainer(cfg, quiet=True, resume=False)
+            outs.append(t.fit(save_threshold=2.0))
+        assert outs[0].keys() == outs[1].keys()
+        for k in outs[0]:
+            assert abs(outs[0][k] - outs[1][k]) < 1e-6, (k, outs)
+
+    def test_latest_checkpoint_skips_crashed_save(self, tmp_path):
+        """A crash during an orbax save leaves a staging dir
+        (step_X.orbax-checkpoint-tmp-*); resume must pick the last
+        FINALIZED checkpoint, and GC must not count the leftover."""
+        root = tmp_path / "ckpt"
+        (root / "step_00000010").mkdir(parents=True)
+        (root / "step_00000020.orbax-checkpoint-tmp-1723").mkdir()
+        got = train.latest_checkpoint(str(root))
+        assert got == str(root / "step_00000010")
+        from sonet_tpu.train.checkpoints import _gc
+        (root / "step_00000005").mkdir()
+        _gc(str(root), keep=2)  # both finalized dirs kept
+        assert (root / "step_00000005").exists()
+        assert (root / "step_00000010").exists()
+
     def test_save_restore_roundtrip(self, tmp_path):
         cfg = cfg_mod.tiny_test()
         state, model, _, eval_step, loader, *_ = _train_some(cfg, steps=2)
