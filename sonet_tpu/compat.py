@@ -493,7 +493,12 @@ def import_run(cfg: Config, files: Dict[str, str], out_dir: str,
     as_f32 = lambda t: jax.tree_util.tree_map(  # noqa: E731
         lambda a: jnp.asarray(a, jnp.float32), t)
     state = state.replace(params=as_f32(variables["params"]),
-                          batch_stats=as_f32(variables["batch_stats"]))
+                          batch_stats=as_f32(variables["batch_stats"]),
+                          # payload step must match the dir name, or a
+                          # post-import training save at step < N sorts
+                          # below it and auto-resume regresses forever
+                          step=jnp.asarray(step, jnp.asarray(
+                              state.step).dtype))
     os.makedirs(out_dir, exist_ok=True)
     cfg.save(os.path.join(out_dir, "config.json"))
     return train.save_checkpoint(os.path.join(out_dir, "ckpt"), state, step)

@@ -164,10 +164,12 @@ def cmd_check(args) -> None:
     loaded = 0
 
     def sample_idx(n: int) -> List[int]:
+        if args.load == 0:  # existence-only pass
+            return []
         if args.load < 0 or args.load >= n:
             return list(range(n))
         return sorted({int(i) for i in
-                       np.linspace(0, n - 1, max(args.load, 1))})
+                       np.linspace(0, n - 1, args.load)})
 
     def check_cloud(path, arr, name, width=3, n_ref=None):
         nonlocal loaded
@@ -301,6 +303,13 @@ def cmd_check(args) -> None:
                                         f"[{pl.min()}, {pl.max()}], want "
                                         f"[0, 50)")
 
+    if not any(v is not None for v in counts.values()):
+        # every split file was absent: almost always a wrong --root /
+        # --layout / --classes — the one thing a validator must not
+        # pass on (fail-closed)
+        problems.append(f"no split lists found under {args.root} for "
+                        f"layout {args.layout!r} (wrong --root, --layout "
+                        f"or --classes?)")
     report = {"layout": args.layout, "root": args.root, "splits": counts,
               "items_loaded": loaded, "problems": len(problems),
               "ok": not problems}

@@ -29,15 +29,18 @@ from .layers import KNNModule, PointLayer, PointNetMLP, PointResNet
 
 
 def resolve_pooling(cfg: Config) -> str:
-    """Resolve cfg.pooling="auto" at trace time: the sorted-pipeline
-    Pallas kernel on a single TPU chip, scatter elsewhere (interpret-mode
-    Pallas on CPU is for tests only; under a >1-device mesh pallas_call
-    has no partitioning rules, so the scatter form is used)."""
-    if cfg.pooling != "auto":
-        return cfg.pooling
+    """Resolve cfg.pooling at trace time: the sorted-pipeline Pallas
+    kernel on a single TPU chip, scatter elsewhere (interpret-mode
+    Pallas on CPU is for tests only).  Under a >1-device mesh the
+    scatter form is used UNCONDITIONALLY — pallas_call has no
+    partitioning rules, so even a pinned pooling='sorted_window' must
+    fall back (every entry point funnels through this one check:
+    Trainer, tasks/infer.py, ServingEngine)."""
     import math
     if math.prod(cfg.mesh_shape) > 1:
         return "scatter"
+    if cfg.pooling != "auto":
+        return cfg.pooling
     return "sorted_window" if jax.default_backend() == "tpu" else "scatter"
 
 

@@ -102,10 +102,8 @@ def _restore_run(run_dir: str, batch_size: Optional[int] = None,
     ``mesh_shape`` is the SERVING mesh (data[, points]) — independent of
     whatever the run trained on.  A >1-device mesh forces the shardable
     scatter pooling form even when the run's config pins
-    ``pooling='sorted_window'`` (the Pallas kernel has no partitioning
-    rules; resolve_pooling only remaps 'auto')."""
-    import math
-
+    ``pooling='sorted_window'`` (resolve_pooling owns that rule: the
+    Pallas kernel has no partitioning rules)."""
     import jax
     import jax.numpy as jnp
 
@@ -118,8 +116,6 @@ def _restore_run(run_dir: str, batch_size: Optional[int] = None,
     if mesh_shape:
         cfg = cfg.replace(mesh_shape=tuple(mesh_shape),
                           mesh_axes=("data", "points"))
-        if pooling is None and math.prod(mesh_shape) > 1:
-            pooling = "scatter"
     else:
         cfg = cfg.replace(mesh_shape=(1, 1))
     if pooling:
@@ -382,9 +378,10 @@ class ServingEngine:
             raise ValueError("empty request batch")
 
         t0 = time.perf_counter()
-        if (self._batcher is not None
+        batcher = self._batcher  # racy vs stop_microbatch: read once
+        if (batcher is not None
                 and (self.batch_size is None or B_req < self.batch_size)):
-            out = self._batcher.submit(arrays, B_req)
+            out = batcher.submit(arrays, B_req)
         else:
             out = self._dispatch(arrays, B_req)
         with self._stats_lock:
@@ -484,20 +481,33 @@ class _MicroBatcher:
         self._engine = engine
         self._window_s = max(window_ms, 0.0) / 1e3
         self._q: "queue.Queue" = queue.Queue()
+        self._submit_lock = threading.Lock()
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="sonet-microbatch")
         self._thread.start()
 
     def submit(self, arrays: list, n: int) -> np.ndarray:
-        slot = {"done": threading.Event()}
-        self._q.put((arrays, n, slot))
+        # the lock orders every enqueue before the CLOSE sentinel: a
+        # predict() racing stop_microbatch() either lands in the queue
+        # (the collector drains everything up to CLOSE) or dispatches
+        # directly — it can never park forever behind the sentinel
+        with self._submit_lock:
+            if self._closed:
+                return self._engine._dispatch(arrays, n)
+            slot = {"done": threading.Event()}
+            self._q.put((arrays, n, slot))
         slot["done"].wait()
         if "error" in slot:
             raise slot["error"]
         return slot["out"]
 
     def close(self) -> None:
-        self._q.put(self._CLOSE)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(self._CLOSE)
         self._thread.join(timeout=10)
 
     def _loop(self) -> None:

@@ -39,22 +39,32 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
 
 
 def _finalized_steps(root: str) -> list:
-    """Completed checkpoint dirs only: orbax stages an atomic save in a
-    sibling ``step_XXXXXXXX.orbax-checkpoint-tmp-*`` dir, so a crash
-    mid-save leaves one behind — it must never be resumed from or
-    counted by GC."""
+    """Completed checkpoint dirs only, ordered by step NUMBER: orbax
+    stages an atomic save in a sibling
+    ``step_XXXXXXXX.orbax-checkpoint-tmp-*`` dir, so a crash mid-save
+    leaves one behind — it must never be resumed from or counted by GC.
+    (Numeric sort: lexicographic order breaks past 8 digits.)"""
     import re
-    pat = re.compile(r"^step_\d{8}$")
-    return sorted(d for d in os.listdir(root) if pat.fullmatch(d))
+    pat = re.compile(r"^step_(\d{8,})$")
+    matches = (pat.fullmatch(d) for d in os.listdir(root))
+    return [m.group(0) for m in
+            sorted((m for m in matches if m),
+                   key=lambda m: int(m.group(1)))]
 
 
 def _gc(ckpt_dir: str, keep: int) -> None:
+    import shutil
     root = _abs(ckpt_dir)
     if not os.path.isdir(root):
         return
     for d in _finalized_steps(root)[:-keep]:
-        import shutil
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # stale staging dirs from crashed saves: _gc only runs right after
+    # a COMPLETED save (wait_until_finished), so any tmp dir is dead
+    # weight at full checkpoint size — sweep it
+    for d in os.listdir(root):
+        if d.startswith("step_") and ".orbax-checkpoint-tmp" in d:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -408,4 +408,7 @@ class Trainer:
         finally:
             for sig, h in prev_handlers.items():
                 signal.signal(sig, h)
+            # a consumed stop must not silently truncate a LATER fit()
+            # on the same Trainer (retry drivers, interactive resume)
+            self._stop_requested = False
         return test_metrics

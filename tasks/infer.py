@@ -100,12 +100,10 @@ def main(argv=None):
             raise SystemExit(f"--mesh_shape: {e}")
         mesh = make_mesh(shape, ("data", "points"))
         # keep cfg consistent so pooling resolution sees the mesh
-        # (the Pallas kernel has no partitioning rules); a run that
-        # PINNED pooling='sorted_window' must fall back too
+        # (resolve_pooling forces the shardable scatter form under a
+        # >1-device mesh, even for a pinned 'sorted_window')
         cfg = cfg.replace(mesh_shape=shape,
                           mesh_axes=("data", "points"))
-        if int(np.prod(shape)) > 1 and cfg.pooling == "sorted_window":
-            cfg = cfg.replace(pooling="scatter")
     else:
         cfg = cfg.replace(mesh_shape=(1, 1))
     out_dir = args.out or os.path.join(args.run, "infer")

@@ -201,6 +201,25 @@ class TestImportRun:
         variables = compat.import_reference_checkpoint(rcfg, files)
         _assert_trees_equal(state.params, variables["params"], "restored")
 
+    def test_import_run_step_payload_matches_dir(self, pth_files, tmp_path):
+        """--step N: the saved state's step must equal N (a step-0
+        payload under step_N would make post-import training saves at
+        step < N invisible to resume)."""
+        import jax
+        import jax.numpy as jnp
+        import sonet_tpu.train as train
+        from sonet_tpu.models import build_model
+        from sonet_tpu.serving import input_signature
+        cfg, files = pth_files
+        out = str(tmp_path / "stepped")
+        ckpt = compat.import_run(cfg, files, out, step=300)
+        assert ckpt.endswith("step_00000300")
+        model = build_model(cfg)
+        example = tuple(jnp.zeros(s, d) for _, s, d in input_signature(cfg))
+        state = train.init_state(model, cfg, jax.random.PRNGKey(0), example)
+        state = train.restore_checkpoint(ckpt, state)
+        assert int(state.step) == 300
+
     def test_pth_roundtrip(self, ref, pth_files, tmp_path):
         """import -> run dir -> export_reference_checkpoint reproduces
         the original .pth contents bit-for-bit, and the exported files

@@ -276,6 +276,29 @@ class TestPrepCLI:
                        "--rows", str(cfg.rows), "--load", "-1"])
         assert "part_label range" in capsys.readouterr().err
 
+    def test_check_wrong_root_fails_closed(self, tmp_path, capsys):
+        """A root with NO split lists at all (typo'd path) must fail,
+        not report ok=true with every split 'absent'."""
+        from sonet_tpu.data import prep
+        empty = tmp_path / "nothing"
+        empty.mkdir()
+        with pytest.raises(SystemExit):
+            prep.main(["check", "--root", str(empty),
+                       "--layout", "modelnet"])
+        out = capsys.readouterr()
+        assert "no split lists found" in out.err
+        assert json.loads(out.out.strip().splitlines()[-1])["ok"] is False
+
+    def test_check_load_zero_is_existence_only(self, tmp_path, capsys):
+        from sonet_tpu.data import prep
+        cfg = tiny().replace(classes=10)
+        root = _fake_modelnet(tmp_path, cfg)
+        prep.main(["check", "--root", root, "--layout", "modelnet",
+                   "--classes", "10", "--rows", str(cfg.rows),
+                   "--load", "0"])
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["ok"] and report["items_loaded"] == 0
+
     def test_check_shrec_missing_split_is_note(self, tmp_path, capsys):
         """A tree without test.txt still checks clean (note, not error)."""
         from sonet_tpu.data import prep

@@ -158,12 +158,13 @@ class TestCheckpoint:
             t.fit(save_threshold=2.0)
         finally:
             timer.cancel()
-        assert t._stop_requested
         assert int(t.state.step) < 50 * t.steps_per_epoch
         assert train.latest_checkpoint(
             os.path.join(t.out_dir, "ckpt")) is not None
-        # the previous SIGTERM disposition is restored after fit
+        # the previous SIGTERM disposition is restored after fit, and
+        # the consumed stop flag is cleared (a later fit() must run)
         assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+        assert not t._stop_requested
 
     def test_training_is_seed_deterministic(self, tmp_path):
         """Two Trainers with the same config/seed produce identical
@@ -194,6 +195,13 @@ class TestCheckpoint:
         _gc(str(root), keep=2)  # both finalized dirs kept
         assert (root / "step_00000005").exists()
         assert (root / "step_00000010").exists()
+        # ...and the dead staging dir is swept (full checkpoint size)
+        assert not (root / "step_00000020.orbax-checkpoint-tmp-1723"
+                    ).exists()
+        # steps past 8 digits order numerically, not lexicographically
+        (root / "step_100000000").mkdir()
+        assert train.latest_checkpoint(str(root)).endswith(
+            "step_100000000")
 
     def test_save_restore_roundtrip(self, tmp_path):
         cfg = cfg_mod.tiny_test()
