@@ -41,8 +41,13 @@ import numpy as np
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8321,
-                quiet: bool = True) -> ThreadingHTTPServer:
-    """Build (but don't start) the HTTP server around a ServingEngine."""
+                quiet: bool = True,
+                max_request_mb: float = 256.0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server around a ServingEngine.
+
+    ``max_request_mb`` bounds the request body read into memory (413 on
+    exceed; a daemon must not OOM on one oversized POST)."""
+    max_bytes = int(max_request_mb * (1 << 20))
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "sonet-tpu-serve/1.0"
@@ -76,6 +81,11 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8321,
                 return self._send(404, {"error": f"unknown path {path}"})
             try:
                 n = int(self.headers.get("Content-Length") or 0)
+                if n > max_bytes:
+                    return self._send(413, {
+                        "error": f"request body {n} bytes exceeds the "
+                                 f"{max_bytes} byte limit "
+                                 f"(--max_request_mb)"})
                 body = self.rfile.read(n)
                 ctype = (self.headers.get("Content-Type")
                          or "application/json").partition(";")[0].strip()
@@ -132,6 +142,8 @@ def main(argv=None):
                          "dispatches, waiting up to this many ms to fill "
                          "the compiled batch (0 = off); bounds the added "
                          "single-client latency")
+    ap.add_argument("--max_request_mb", type=float, default=256.0,
+                    help="reject request bodies larger than this (413)")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip the compile-on-zeros warmup")
     ap.add_argument("--verbose", action="store_true",
@@ -163,7 +175,8 @@ def main(argv=None):
         engine.start_microbatch(args.microbatch_ms)
 
     srv = make_server(engine, host=args.host, port=args.port,
-                      quiet=not args.verbose)
+                      quiet=not args.verbose,
+                      max_request_mb=args.max_request_mb)
     print(json.dumps({"serving": args.artifact or args.run,
                       "task": engine.manifest["task"],
                       "batch_size": engine.batch_size,

@@ -272,6 +272,22 @@ class TestHTTPServer:
             assert status == 200
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_oversized_body_rejected(self, engine):
+        """Bodies over the size cap get a 413 without being read."""
+        serve_task = _load_serve_task()
+        srv = serve_task.make_server(engine, port=0, max_request_mb=0.001)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/v1/predict"
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                self._post(url, b"x" * 4096)
+            assert ei.value.code == 413
+            assert "exceeds" in json.loads(ei.value.read())["error"]
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
     def test_errors(self, server, engine):
         # wrong input names -> 400 with the engine's message
         bad = json.dumps({"bogus": [[0.0]]}).encode()
