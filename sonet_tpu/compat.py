@@ -75,6 +75,12 @@ def _group(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
 
 
+def _bn_tree(g: Dict[str, np.ndarray]) -> Tuple[Tree, Tree]:
+    """torch ``norm.*`` keys -> BatchNorm {params, batch_stats} leaves."""
+    return ({"scale": g["norm.weight"], "bias": g["norm.bias"]},
+            {"mean": g["norm.running_mean"], "var": g["norm.running_var"]})
+
+
 def _point_layer(g: Dict[str, np.ndarray]) -> Tuple[Tree, Tree]:
     """One EquivariantLayer / MyConv2d / MyLinear block -> PointLayer
     subtree.  1x1 convs (layers.py:243-296) flatten to a dense kernel;
@@ -92,10 +98,7 @@ def _point_layer(g: Dict[str, np.ndarray]) -> Tuple[Tree, Tree]:
     params: Tree = {"Dense_0": {"kernel": kernel, "bias": bias}}
     stats: Tree = {}
     if "norm.weight" in g:
-        params["BatchNorm_0"] = {"scale": g["norm.weight"],
-                                 "bias": g["norm.bias"]}
-        stats["BatchNorm_0"] = {"mean": g["norm.running_mean"],
-                                "var": g["norm.running_var"]}
+        params["BatchNorm_0"], stats["BatchNorm_0"] = _bn_tree(g)
     return params, stats
 
 
@@ -189,14 +192,12 @@ def convert_decoder(sd: Dict[str, np.ndarray]) -> Tuple[Tree, Tree]:
         for n in range(1, 7):
             g = _group(conv, f"deconv{n}.conv")  # UpConv.conv = MyConv2d
             w = g["conv.weight"]                 # (Cout, Cin, 3, 3)
+            bn_p, bn_s = _bn_tree(g)
             cp[f"UpConv_{n - 1}"] = {
                 "Conv_0": {"kernel": w.transpose(2, 3, 1, 0),
                            "bias": g["conv.bias"]},
-                "BatchNorm_0": {"scale": g["norm.weight"],
-                                "bias": g["norm.bias"]}}
-            cs[f"UpConv_{n - 1}"] = {
-                "BatchNorm_0": {"mean": g["norm.running_mean"],
-                                "var": g["norm.running_var"]}}
+                "BatchNorm_0": bn_p}
+            cs[f"UpConv_{n - 1}"] = {"BatchNorm_0": bn_s}
         for j in (4, 5, 6):
             g = _group(conv, f"conv2pc{j}")
             p1, s1 = _point_layer(_group(g, "conv1"))
@@ -288,6 +289,18 @@ def import_reference_checkpoint(cfg: Config,
     return {"params": params, "batch_stats": stats}
 
 
+def _inv_bn(bn_p: Tree, bn_s: Tree, prefix: str) -> Dict[str, np.ndarray]:
+    """BatchNorm {params, batch_stats} leaves -> flat torch ``norm.*``
+    keys (num_batches_tracked synthesized: momentum here is
+    epoch-driven)."""
+    return {f"{prefix}norm.weight": np.asarray(bn_p["scale"], np.float32),
+            f"{prefix}norm.bias": np.asarray(bn_p["bias"], np.float32),
+            f"{prefix}norm.running_mean": np.asarray(bn_s["mean"],
+                                                     np.float32),
+            f"{prefix}norm.running_var": np.asarray(bn_s["var"], np.float32),
+            f"{prefix}norm.num_batches_tracked": np.asarray(0, np.int64)}
+
+
 def _inv_point_layer(p: Tree, s: Optional[Tree], kind: str,
                      prefix: str) -> Dict[str, np.ndarray]:
     """Inverse of :func:`_point_layer`: PointLayer subtree -> flat torch
@@ -307,23 +320,16 @@ def _inv_point_layer(p: Tree, s: Optional[Tree], kind: str,
         out[f"{prefix}linear.weight"] = np.ascontiguousarray(k.T)
         out[f"{prefix}linear.bias"] = b
     if "BatchNorm_0" in p:
-        st = (s or {})["BatchNorm_0"]
-        out[f"{prefix}norm.weight"] = np.asarray(
-            p["BatchNorm_0"]["scale"], np.float32)
-        out[f"{prefix}norm.bias"] = np.asarray(
-            p["BatchNorm_0"]["bias"], np.float32)
-        out[f"{prefix}norm.running_mean"] = np.asarray(st["mean"],
-                                                       np.float32)
-        out[f"{prefix}norm.running_var"] = np.asarray(st["var"], np.float32)
-        out[f"{prefix}norm.num_batches_tracked"] = np.asarray(0, np.int64)
+        out.update(_inv_bn(p["BatchNorm_0"], (s or {})["BatchNorm_0"],
+                           prefix))
     return out
 
 
 def _inv_stack(p: Tree, s: Optional[Tree], kind: str,
                prefix: str) -> Dict[str, np.ndarray]:
     out = {}
-    for name in sorted(p, key=lambda n: int(n.split("_")[1])):
-        i = int(name.split("_")[1])
+    for i in sorted(int(n.split("_")[1]) for n in p):
+        name = f"PointLayer_{i}"
         out.update(_inv_point_layer(p[name], (s or {}).get(name), kind,
                                     f"{prefix}layers.{i}."))
     return out
@@ -384,15 +390,7 @@ def decoder_state_dict(params: Tree, stats: Tree) -> Dict[str, np.ndarray]:
                 w.transpose(3, 2, 0, 1))
             out[f"{pre}conv.bias"] = np.asarray(up["Conv_0"]["bias"],
                                                 np.float32)
-            out[f"{pre}norm.weight"] = np.asarray(
-                up["BatchNorm_0"]["scale"], np.float32)
-            out[f"{pre}norm.bias"] = np.asarray(up["BatchNorm_0"]["bias"],
-                                                np.float32)
-            out[f"{pre}norm.running_mean"] = np.asarray(
-                us["BatchNorm_0"]["mean"], np.float32)
-            out[f"{pre}norm.running_var"] = np.asarray(
-                us["BatchNorm_0"]["var"], np.float32)
-            out[f"{pre}norm.num_batches_tracked"] = np.asarray(0, np.int64)
+            out.update(_inv_bn(up["BatchNorm_0"], us["BatchNorm_0"], pre))
         for j in (4, 5, 6):
             tp = cp[f"ConvToPC_{j - 4}"]
             ts = cs.get(f"ConvToPC_{j - 4}", {})

@@ -171,6 +171,13 @@ def cmd_check(args) -> None:
         return sorted({int(i) for i in
                        np.linspace(0, n - 1, args.load)})
 
+    def note_missing(paths, mode):
+        missing = [q for q in paths if not os.path.exists(q)]
+        problems.extend(f"missing: {q}" for q in missing[:20])
+        if len(missing) > 20:
+            problems.append(f"... {len(missing) - 20} more missing "
+                            f"in {mode}")
+
     def check_cloud(path, arr, name, width=3, n_ref=None):
         nonlocal loaded
         loaded += 1
@@ -209,12 +216,8 @@ def cmd_check(args) -> None:
                 problems.append(f"{mode} split unreadable: {e}")
                 continue
             counts[mode] = len(items)
-            missing = [p for it in items for p in (it[0], it[2])
-                       if not os.path.exists(p)]
-            problems.extend(f"missing: {p}" for p in missing[:20])
-            if len(missing) > 20:
-                problems.append(f"... {len(missing) - 20} more missing "
-                                f"in {mode}")
+            note_missing([p for it in items for p in (it[0], it[2])],
+                         mode)
             for i in sample_idx(len(items)):
                 pc_path, _, som_path = items[i]
                 if not os.path.exists(pc_path) or not os.path.exists(som_path):
@@ -236,11 +239,7 @@ def cmd_check(args) -> None:
                 problems.append(f"{mode} split unreadable: {e}")
                 continue
             counts[mode] = len(items)
-            missing = [it[0] for it in items if not os.path.exists(it[0])]
-            problems.extend(f"missing: {p}" for p in missing[:20])
-            if len(missing) > 20:
-                problems.append(f"... {len(missing) - 20} more missing "
-                                f"in {mode}")
+            note_missing([it[0] for it in items], mode)
             for i in sample_idx(len(items)):
                 path = items[i][0]
                 if not os.path.exists(path):
@@ -276,11 +275,7 @@ def cmd_check(args) -> None:
                     continue
                 paths.append(os.path.join(args.root,
                                           f"{file}_{rows}x{rows}.npz"))
-            missing = [p for p in paths if not os.path.exists(p)]
-            problems.extend(f"missing: {p}" for p in missing[:20])
-            if len(missing) > 20:
-                problems.append(f"... {len(missing) - 20} more missing "
-                                f"in {mode}")
+            note_missing(paths, mode)
             for i in sample_idx(len(paths)):
                 path = paths[i]
                 if not os.path.exists(path):
