@@ -23,13 +23,10 @@ layout XLA tiles onto the TPU MXU/VPU.
 
 __version__ = "0.1.0"
 
-from . import config  # noqa: F401
-from . import ops  # noqa: F401
-from . import som  # noqa: F401
-
-# heavier subpackages (flax/optax/orbax) import lazily on attribute access
-_LAZY = ("nn", "models", "train", "data", "parallel", "utils", "retrieval",
-         "native", "serving")
+# every subpackage imports lazily on attribute access: `import sonet_tpu`
+# (and the `sonet` CLI's help path) must not pay for jax/flax startup.
+_LAZY = ("config", "ops", "som", "nn", "models", "train", "data", "parallel",
+         "utils", "retrieval", "native", "serving", "compat", "cli", "tasks")
 
 
 def __getattr__(name):
@@ -41,4 +38,4 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = ["config", "ops", "som", *_LAZY, "__version__"]
+__all__ = [*_LAZY, "__version__"]

@@ -1,27 +1,12 @@
 #!/usr/bin/env python3
-"""Autoencoder training driver (reference autoencoder/train.py).
-
-    python tasks/autoencode.py --preset autoencoder --dataroot /path/to/data
-"""
-
+"""Repo-checkout wrapper; the driver lives in sonet_tpu.tasks.autoencode
+(also: ``sonet autoencode``)."""
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sonet_tpu.config import parse_args
-from sonet_tpu.train.trainer import Trainer
-
-
-def main(argv=None):
-    cfg = parse_args(argv, preset="autoencoder")
-    trainer = Trainer(cfg)
-    # the reference saves every epoch (autoencoder/train.py:106-109);
-    # threshold None = save on every improvement
-    final = trainer.fit(save_threshold=None, visualize_every=5)
-    print({"final": final, "best": trainer.best_metric})
-    return final
-
+from sonet_tpu.tasks.autoencode import main  # noqa: E402,F401
 
 if __name__ == "__main__":
     main()

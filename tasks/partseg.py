@@ -1,26 +1,12 @@
 #!/usr/bin/env python3
-"""Part-segmentation training driver (reference part-seg/train.py).
-
-    python tasks/partseg.py --preset shapenetpart --dataroot /path/to/data
-"""
-
+"""Repo-checkout wrapper; the driver lives in sonet_tpu.tasks.partseg
+(also: ``sonet partseg``)."""
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sonet_tpu.config import parse_args
-from sonet_tpu.train.trainer import Trainer
-
-
-def main(argv=None):
-    cfg = parse_args(argv, preset="shapenetpart")
-    trainer = Trainer(cfg)
-    # mIoU save threshold (part-seg/train.py:110)
-    final = trainer.fit(save_threshold=0.835, visualize_every=5)
-    print({"final": final, "best": trainer.best_metric})
-    return final
-
+from sonet_tpu.tasks.partseg import main  # noqa: E402,F401
 
 if __name__ == "__main__":
     main()

@@ -283,13 +283,8 @@ class TestImportRun:
                                              weights_only=True))  # strict
 
     def test_import_cli(self, pth_files, tmp_path):
-        import importlib.util
         cfg, files = pth_files
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        spec = importlib.util.spec_from_file_location(
-            "import_ckpt_task", os.path.join(repo, "tasks", "import_ckpt.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        from sonet_tpu.tasks import import_ckpt as mod
         out = str(tmp_path / "cli_imported")
         summary = mod.main([
             "--encoder", files["encoder"],

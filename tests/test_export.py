@@ -6,7 +6,6 @@ eval forward.  Beyond-reference capability (the reference's only
 deployment path is .pth reloads inside its own codebase,
 shrec16/test.py:31-32)."""
 
-import importlib.util
 import json
 import os
 
@@ -18,7 +17,7 @@ from sonet_tpu.serving import (build_serve_fn, export_run, input_signature,
                                load_exported)
 from sonet_tpu.train.trainer import Trainer
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 
 def _train_tiny(tmp_path, **overrides):
@@ -137,10 +136,7 @@ class TestExportRoundtrip:
 
     def test_export_cli(self, tmp_path):
         run = _train_tiny(tmp_path, name="exp_cli")
-        spec = importlib.util.spec_from_file_location(
-            "export_task", os.path.join(REPO, "tasks", "export.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        from sonet_tpu.tasks import export as mod
         manifest = mod.main(["--run", run, "--platforms", "cpu",
                              "--batch_size", "2", "--check",
                              "--out", str(tmp_path / "art")])

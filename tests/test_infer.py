@@ -5,7 +5,6 @@ The reference has no inference surface beyond shrec16/test.py; this is
 the serving entry point (PARITY.md "beyond the reference")."""
 
 import csv
-import importlib.util
 import json
 import os
 
@@ -14,15 +13,10 @@ import numpy as np
 from sonet_tpu.config import tiny_test, load_config
 from sonet_tpu.train.trainer import Trainer
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 def _load_infer():
-    spec = importlib.util.spec_from_file_location(
-        "infer_task", os.path.join(REPO, "tasks", "infer.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    from sonet_tpu.tasks import infer
+    return infer
 
 
 def test_infer_classify_roundtrip(tmp_path):

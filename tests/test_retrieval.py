@@ -136,13 +136,8 @@ class TestRetrieveDriverMesh:
         """tasks/retrieve.py --mesh_shape must produce the same metrics
         and rank files as single-device (state replicated, batches
         data/points-sharded)."""
-        import importlib.util
 
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        spec = importlib.util.spec_from_file_location(
-            "retrieve_task", os.path.join(repo, "tasks", "retrieve.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        from sonet_tpu.tasks import retrieve as mod
         tiny = ["--dataset", "synthetic", "--classes", "4",
                 "--batch_size", "4", "--input_pc_num", "64",
                 "--node_num", "16", "--k", "2", "--som_k", "4",

@@ -6,7 +6,6 @@ to an exact-batch call, the HTTP surface speaks JSON and npz, and bad
 inputs are rejected before dispatch.  Beyond-reference capability (the
 reference has no serving surface, shrec16/test.py:31-32)."""
 
-import importlib.util
 import io
 import json
 import os
@@ -21,15 +20,10 @@ from sonet_tpu.config import tiny_test
 from sonet_tpu.serving import ServingEngine, export_run
 from sonet_tpu.train.trainer import Trainer
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 def _load_serve_task():
-    spec = importlib.util.spec_from_file_location(
-        "serve_task", os.path.join(REPO, "tasks", "serve.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    from sonet_tpu.tasks import serve
+    return serve
 
 
 @pytest.fixture(scope="module")
