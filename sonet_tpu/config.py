@@ -74,9 +74,10 @@ class Config:
     # used by the parity tests.  bench.py benches the preset as-is.
     compute_dtype: str = "float32"  # float32 | bfloat16 for activations
     # node pooling implementation: "auto" resolves to the sorted-pipeline
-    # Pallas kernel on a single TPU chip and to the scatter form elsewhere
-    # (CPU tests; sharded point axis — pallas_call has no partitioning
-    # rules, so Trainer forces "scatter" under a mesh)
+    # Pallas kernel on TPU (single chip, or per-shard under shard_map on
+    # a >1-device mesh with a cross-shard pmax — ops/segment_fast.py)
+    # and to the pure-XLA scatter form on other backends (CPU tests run
+    # the kernel in interpret mode when pinned)
     pooling: str = "auto"  # auto | scatter | sorted_window
     # input pipeline: "host" = threaded BatchLoader (reference-style);
     # "native" = host pipeline with C++ batch assembly (npy read +

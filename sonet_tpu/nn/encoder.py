@@ -30,18 +30,28 @@ from .layers import KNNModule, PointLayer, PointNetMLP, PointResNet
 
 def resolve_pooling(cfg: Config) -> str:
     """Resolve cfg.pooling at trace time: the sorted-pipeline Pallas
-    kernel on a single TPU chip, scatter elsewhere (interpret-mode
-    Pallas on CPU is for tests only).  Under a >1-device mesh the
-    scatter form is used UNCONDITIONALLY — pallas_call has no
-    partitioning rules, so even a pinned pooling='sorted_window' must
-    fall back (every entry point funnels through this one check:
-    Trainer, tasks/infer.py, ServingEngine)."""
-    import math
-    if math.prod(cfg.mesh_shape) > 1:
-        return "scatter"
+    kernel on TPU (single chip or mesh), scatter on other backends
+    (interpret-mode Pallas on CPU is for tests only — pin
+    pooling='sorted_window' to exercise it).  Under a >1-device mesh
+    the kernel runs per shard inside shard_map with a cross-shard pmax
+    (ops/segment_fast.py) — segment max is associative, so the mesh no
+    longer forces the ~4x slower scatter form (VERDICT r2 #1).  Every
+    entry point funnels through this one check: Trainer, tasks/infer.py,
+    ServingEngine."""
     if cfg.pooling != "auto":
         return cfg.pooling
     return "sorted_window" if jax.default_backend() == "tpu" else "scatter"
+
+
+def _pooling_mesh(cfg: Config):
+    """The concrete mesh for shard_map pooling under ``cfg``, or None on
+    a single device.  Reconstructs the canonical entry-point mesh
+    (parallel.mesh_for_config)."""
+    import math
+    if math.prod(cfg.mesh_shape) <= 1:
+        return None
+    from ..parallel import mesh_for_config
+    return mesh_for_config(cfg)
 
 
 class EncoderOutput(NamedTuple):
@@ -191,7 +201,8 @@ class Encoder(nn.Module):
         # -- node pooling: the index_max kernel (networks.py:181-185) -----
         if sort_points:
             pooled = segment_max_fast(first_pn_out, min_idx, M,
-                                      counts=counts, point0_idx=point0_idx)
+                                      counts=counts, point0_idx=point0_idx,
+                                      mesh=_pooling_mesh(cfg))
         else:
             pooled = segment_max(first_pn_out, min_idx, M)  # (B, M, 384)
 

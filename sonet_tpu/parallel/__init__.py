@@ -1,12 +1,12 @@
 """Mesh / sharding utilities (no reference equivalent — the reference is
 single-GPU only, SURVEY.md §2.3)."""
 
-from .mesh import (make_mesh, batch_specs, shard_batch,
+from .mesh import (make_mesh, mesh_for_config, batch_specs, shard_batch,
                    shard_stacked, replicate,
                    parse_mesh_shape, normalize_mesh_shape,
                    check_mesh_divisible)
 
-__all__ = ["make_mesh", "batch_specs", "shard_batch",
+__all__ = ["make_mesh", "mesh_for_config", "batch_specs", "shard_batch",
            "shard_stacked", "replicate",
            "parse_mesh_shape", "normalize_mesh_shape",
            "check_mesh_divisible"]

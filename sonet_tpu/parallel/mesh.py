@@ -46,6 +46,19 @@ def make_mesh(shape: Sequence[int] = None,
     return Mesh(arr, tuple(axis_names))
 
 
+def mesh_for_config(cfg) -> Mesh:
+    """The canonical mesh for ``cfg.mesh_shape`` — the exact mesh every
+    entry point builds (``make_mesh`` over ``jax.devices()`` in order).
+
+    Used at trace time by ops that need a concrete ``Mesh`` object for
+    ``shard_map`` (the Pallas pooling kernel has no GSPMD partitioning
+    rules, so under a >1-device mesh it runs per-shard inside shard_map
+    with a cross-shard ``pmax`` over the points axis).  Entry points
+    that build a *custom* mesh (reordered / subset devices) must either
+    match this reconstruction or pin ``pooling='scatter'``."""
+    return make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+
+
 def normalize_mesh_shape(shape: Sequence[int]) -> tuple:
     """Validate a (data[, points]) mesh shape and pad it to 2 axes.
 

@@ -100,10 +100,9 @@ def _restore_run(run_dir: str, batch_size: Optional[int] = None,
     """Restore a finished run for serving: ``(cfg, model, state, ckpt)``.
 
     ``mesh_shape`` is the SERVING mesh (data[, points]) — independent of
-    whatever the run trained on.  A >1-device mesh forces the shardable
-    scatter pooling form even when the run's config pins
-    ``pooling='sorted_window'`` (resolve_pooling owns that rule: the
-    Pallas kernel has no partitioning rules)."""
+    whatever the run trained on.  Under a >1-device mesh the fast
+    pooling kernel runs per shard inside shard_map (the encoder
+    reconstructs the mesh from cfg via parallel.mesh_for_config)."""
     import jax
     import jax.numpy as jnp
 

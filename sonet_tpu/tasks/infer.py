@@ -97,9 +97,8 @@ def main(argv=None):
         except ValueError as e:
             raise SystemExit(f"--mesh_shape: {e}")
         mesh = make_mesh(shape, ("data", "points"))
-        # keep cfg consistent so pooling resolution sees the mesh
-        # (resolve_pooling forces the shardable scatter form under a
-        # >1-device mesh, even for a pinned 'sorted_window')
+        # keep cfg consistent so the encoder's shard_map pooling can
+        # reconstruct this exact mesh at trace time (mesh_for_config)
         cfg = cfg.replace(mesh_shape=shape,
                           mesh_axes=("data", "points"))
     else:

@@ -101,9 +101,10 @@ class Trainer:
             shape += (1,) * (len(cfg.mesh_axes) - len(shape))
             mesh = make_mesh(shape, cfg.mesh_axes)
         if mesh is not None:
-            # keep cfg consistent with the actual mesh so pooling
-            # resolution (encoder.resolve_pooling) sees the mesh and
-            # picks the shardable scatter form
+            # keep cfg consistent with the actual mesh: the encoder's
+            # shard_map pooling reconstructs the SAME mesh from cfg at
+            # trace time (parallel.mesh_for_config), so mesh_shape/axes
+            # must describe the mesh actually holding the state
             cfg = cfg.replace(mesh_shape=tuple(mesh.devices.shape),
                               mesh_axes=tuple(mesh.axis_names))
         self.cfg = cfg

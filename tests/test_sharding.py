@@ -71,11 +71,71 @@ class TestMesh:
         assert len(db["label"].addressable_shards) == 8
 
 
+class TestMeshPooling:
+    """The windowed Pallas kernel must survive a mesh (VERDICT r2 #1):
+    shard_map per shard + cross-shard pmax over 'points', equal to the
+    scatter oracle (interpret-mode Pallas on the virtual CPU mesh)."""
+
+    def _data(self, B=8, N=64, C=16, M=8, seed=0):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rs = np.random.RandomState(seed)
+        data = rs.randn(B, N, C).astype(np.float32)
+        ids = np.sort(rs.randint(0, M, (B, N)), axis=1).astype(np.int32)
+        ids[0] = np.sort(np.where(ids[0] == 3, 4, ids[0]))  # empty segment
+        return data, ids
+
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+    def test_sharded_kernel_matches_scatter(self, mesh_shape):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sonet_tpu.ops import segment_max
+        from sonet_tpu.ops.segment_fast import segment_max_fast
+        M = 8
+        data, ids = self._data(M=M)
+        mesh = make_mesh(mesh_shape)
+        d = jax.device_put(data, NamedSharding(mesh, P("data", "points",
+                                                       None)))
+        i = jax.device_put(ids, NamedSharding(mesh, P("data", "points")))
+        ref = segment_max(jnp.asarray(data), jnp.asarray(ids), M)
+        out = jax.jit(lambda a, b: segment_max_fast(a, b, M, mesh=mesh))(d, i)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+        # gradients route through the matmul VJP outside the shard_map
+        g_sh = jax.jit(jax.grad(
+            lambda x: jnp.sum(segment_max_fast(x, i, M, mesh=mesh) ** 2)))(d)
+        g_ref = jax.grad(
+            lambda x: jnp.sum(segment_max(x, jnp.asarray(ids), M) ** 2))(
+            jnp.asarray(data))
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                                   atol=1e-5)
+
+    def test_indivisible_points_axis_raises(self):
+        from sonet_tpu.ops.segment_fast import segment_max_fast
+        data, ids = self._data(N=60)  # 60 % 8 != 0
+        mesh = make_mesh((1, 8))
+        with pytest.raises(ValueError, match="divide over"):
+            jax.jit(lambda a, b: segment_max_fast(
+                a, b, 8, mesh=mesh))(jnp.asarray(data), jnp.asarray(ids))
+
+    def test_resolve_pooling_keeps_kernel_under_mesh(self):
+        """The unconditional mesh downgrade is gone: a pinned
+        'sorted_window' stays pinned; 'auto' still resolves by backend."""
+        from sonet_tpu.nn.encoder import _pooling_mesh, resolve_pooling
+        cfg = cfg_mod.tiny_test().replace(mesh_shape=(4, 2),
+                                          pooling="sorted_window")
+        assert resolve_pooling(cfg) == "sorted_window"
+        mesh = _pooling_mesh(cfg)
+        assert mesh is not None and mesh.devices.shape == (4, 2)
+        single = cfg_mod.tiny_test().replace(mesh_shape=(1, 1))
+        assert _pooling_mesh(single) is None
+
+
 class TestShardedTraining:
-    def _run(self, mesh_shape, seed=0, steps=2, task="classify"):
+    def _run(self, mesh_shape, seed=0, steps=2, task="classify",
+             pooling="auto"):
         cfg = cfg_mod.tiny_test().replace(batch_size=8, input_pc_num=64,
                                           dropout=0.0,  # deterministic
-                                          task=task)
+                                          task=task, pooling=pooling,
+                                          mesh_shape=mesh_shape or (1, 1))
         model = models.build_model(cfg)
         batch = _make(cfg, seed)
         extra = ()
@@ -140,6 +200,34 @@ class TestShardedTraining:
         # discrete, so float32-reassociation noise in the updated params
         # can flip near-tie matches and shift the loss by O(1%)
         np.testing.assert_allclose(e1, e42, rtol=3e-2)
+
+    # -- the production multi-chip config: sorted_window under the mesh --
+    # (VERDICT r2 #1: the fast kernel no longer downgrades to scatter)
+
+    @pytest.mark.slow
+    def test_classify_sorted_window_mesh(self):
+        l1, e1, _ = self._run(None, pooling="scatter")
+        lm, em, _ = self._run((4, 2), pooling="sorted_window")
+        np.testing.assert_allclose(l1, lm, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(e1, em, rtol=5e-3, atol=5e-4)
+
+    @pytest.mark.slow
+    def test_segment_sorted_window_mesh(self):
+        """Pooling + the segmenter's unpermute/k-copy averaging under the
+        sharded point axis with the sorted pipeline live."""
+        l1, e1, _ = self._run(None, task="segment", pooling="scatter")
+        lm, em, _ = self._run((4, 2), task="segment",
+                              pooling="sorted_window")
+        np.testing.assert_allclose(l1, lm, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(e1, em, rtol=5e-3, atol=5e-4)
+
+    @pytest.mark.slow
+    def test_autoencode_sorted_window_mesh(self):
+        l1, e1, _ = self._run(None, task="autoencode", pooling="scatter")
+        lm, em, _ = self._run((4, 2), task="autoencode",
+                              pooling="sorted_window")
+        np.testing.assert_allclose(l1, lm, rtol=5e-3, atol=5e-4)
+        np.testing.assert_allclose(e1, em, rtol=3e-2)
 
 
 class TestGraftEntry:
