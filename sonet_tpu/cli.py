@@ -78,7 +78,11 @@ def main(argv=None):
     result = module.main(rest)
     # task mains return their payload (metrics dict, manifest, ...) for
     # programmatic callers; as a process exit code that means success.
-    return result if isinstance(result, int) else 0
+    # bool is excluded: it subclasses int, and a main returning True
+    # must not become exit code 1 (ADVICE r2).
+    if isinstance(result, int) and not isinstance(result, bool):
+        return result
+    return 0
 
 
 if __name__ == "__main__":

@@ -9,7 +9,11 @@ history).
 """
 
 import argparse
+import os
 
+# stdlib-only import path: utils.__init__ is lazy (PEP 562), so this
+# pulls in neither jax nor matplotlib — the daemon runs on any machine
+# that sees the run dir (ADVICE r2)
 from sonet_tpu.utils.dashboard import make_dashboard_server
 
 
@@ -25,7 +29,10 @@ def main(argv=None):
     p.add_argument("--refresh_ms", type=int, default=3000)
     args = p.parse_args(argv)
 
-    srv = make_dashboard_server(args.root or args.run, port=args.port,
+    root = args.root or args.run
+    if not os.path.isdir(root):
+        raise SystemExit(f"sonet monitor: {root!r} is not a directory")
+    srv = make_dashboard_server(root, port=args.port,
                                 refresh_ms=args.refresh_ms, host=args.host)
     host, port = srv.server_address[:2]
     print(f"sonet monitor on http://{host}:{port}/  (ctrl-c to stop)",

@@ -28,7 +28,7 @@ import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, quote, urlparse
 
 __all__ = ["read_metrics", "list_runs", "make_dashboard_server"]
 
@@ -63,9 +63,16 @@ def read_metrics(run_dir: str, since: int = 0,
 
 
 def list_runs(root: str) -> List[dict]:
-    """Run dirs under ``root`` (or ``root`` itself) that have metrics."""
+    """Run dirs under ``root`` (or ``root`` itself) that have metrics.
+
+    A missing/unreadable root returns [] instead of raising so a
+    long-lived dashboard doesn't 500 on every request (ADVICE r2)."""
+    try:
+        entries = sorted(os.listdir(root))
+    except OSError:
+        return []
     candidates = [root] + [os.path.join(root, d)
-                           for d in sorted(os.listdir(root))
+                           for d in entries
                            if os.path.isdir(os.path.join(root, d))]
     runs = []
     for d in candidates:
@@ -226,19 +233,29 @@ def make_dashboard_server(root: str, port: int = 8322,
                 run = q.get("name", ".")
                 if resolve_run(run) is None:
                     return self._send(404, b"unknown run", "text/plain")
+                # escape for <script> context: a run dir named with
+                # markup (valid on Linux) must not break out of the
+                # script block (stored XSS when exposed via --host)
+                run_json = (json.dumps(run).replace("<", "\\u003c")
+                            .replace(">", "\\u003e"))
                 page = _PAGE.format(run=html.escape(run),
-                                    run_json=json.dumps(run),
+                                    run_json=run_json,
                                     refresh_ms=int(refresh_ms))
                 return self._send(200, page.encode(), "text/html")
             if url.path == "/":
                 runs = list_runs(root)
                 if len(runs) == 1:
                     self.send_response(302)
-                    self.send_header("Location", f"/run?name={runs[0]['name']}")
+                    # percent-encode: html.escape does not cover URL
+                    # metacharacters (space/&/#/%) in run-dir names
+                    self.send_header(
+                        "Location",
+                        f"/run?name={quote(runs[0]['name'], safe='')}")
                     self.end_headers()
                     return
                 items = "".join(
-                    f'<tr><td><a href="/run?name={html.escape(r["name"])}">'
+                    f'<tr><td><a href="/run?name='
+                    f'{quote(r["name"], safe="")}">'
                     f'{html.escape(r["name"])}</a></td>'
                     f'<td>{r["size"]}B</td></tr>' for r in runs)
                 body = (f"<html><body><h1>runs under {html.escape(root)}"
