@@ -25,11 +25,19 @@ API (see docs/SERVING.md):
 
 Bad inputs (wrong names/shapes/dtypes, malformed JSON/npz) return 400
 with {"error": ...}; the compiled program is never dispatched on them.
+
+Graceful shutdown (beyond-reference; the trainer got the equivalent in
+round 2): SIGTERM/SIGINT puts the daemon into DRAIN mode — /healthz
+flips to 503 {"status": "draining"} (orchestrator readiness check),
+new /v1/predict requests get 503 + Retry-After, in-flight requests and
+the micro-batch queue complete normally, then the listener closes and
+the process exits 0.  See ``drain_server``.
 """
 
 import argparse
 import io
 import json
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -66,7 +74,11 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8321,
         def do_GET(self):
             path = self.path.partition("?")[0]
             if path in ("/", "/healthz"):
-                self._send(200, {"status": "ok", **engine.stats()})
+                if srv.draining.is_set():
+                    self._send(503, {"status": "draining",
+                                     **engine.stats()})
+                else:
+                    self._send(200, {"status": "ok", **engine.stats()})
             elif path == "/v1/manifest":
                 self._send(200, engine.manifest)
             else:
@@ -76,6 +88,25 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8321,
             path, _, query = self.path.partition("?")
             if path != "/v1/predict":
                 return self._send(404, {"error": f"unknown path {path}"})
+            if srv.draining.is_set():
+                self.send_response(503)
+                body = json.dumps({"error": "server is draining"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            with srv._inflight_cv:
+                srv._inflight += 1
+            try:
+                self._predict(query)
+            finally:
+                with srv._inflight_cv:
+                    srv._inflight -= 1
+                    srv._inflight_cv.notify_all()
+
+        def _predict(self, query):
             try:
                 n = int(self.headers.get("Content-Length") or 0)
                 if n > max_bytes:
@@ -114,7 +145,41 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8321,
                                  "items": int(out.shape[0]),
                                  "ms": round(ms, 3)})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.draining = threading.Event()
+    srv._inflight = 0
+    srv._inflight_cv = threading.Condition()
+    return srv
+
+
+def drain_server(srv, engine, timeout_s: float = 30.0) -> bool:
+    """Graceful shutdown: refuse new work, finish in-flight, close.
+
+    1. flip DRAIN mode (healthz 503 not-ready; new predicts 503 —
+       the accept loop keeps running so clients get answers, not hangs),
+    2. wait up to ``timeout_s`` for in-flight requests to complete,
+    3. drain + stop the micro-batcher (queued coalesced work completes),
+    4. stop the accept loop and close the listening socket.
+
+    Returns True if all in-flight work completed within the timeout.
+    Safe to call more than once (subsequent calls are no-ops)."""
+    if srv.draining.is_set():
+        return True
+    srv.draining.set()
+    deadline = time.monotonic() + timeout_s
+    with srv._inflight_cv:
+        while srv._inflight > 0:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            srv._inflight_cv.wait(left)
+        clean = srv._inflight == 0
+    stop = getattr(engine, "stop_microbatch", None)
+    if stop is not None:
+        stop()
+    srv.shutdown()
+    srv.server_close()
+    return clean
 
 
 def main(argv=None):
@@ -141,6 +206,9 @@ def main(argv=None):
                          "single-client latency")
     ap.add_argument("--max_request_mb", type=float, default=256.0,
                     help="reject request bodies larger than this (413)")
+    ap.add_argument("--drain_timeout_s", type=float, default=30.0,
+                    help="max seconds to wait for in-flight requests "
+                         "when draining on SIGTERM/SIGINT")
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip the compile-on-zeros warmup")
     ap.add_argument("--verbose", action="store_true",
@@ -179,12 +247,42 @@ def main(argv=None):
                       "batch_size": engine.batch_size,
                       "host": srv.server_address[0],
                       "port": srv.server_address[1]}), flush=True)
+
+    # SIGTERM/SIGINT -> drain (healthz not-ready, in-flight completes,
+    # exit 0).  The drain runs on its own thread: srv.shutdown() blocks
+    # until serve_forever exits, and the signal handler interrupts the
+    # main thread INSIDE serve_forever — calling it inline would
+    # deadlock.  A second signal force-exits.
+    import os
+    import signal
+
+    drainer = []
+
+    def handle(signum, frame):
+        if drainer:
+            os._exit(1)
+        print("drain requested: refusing new work, finishing in-flight "
+              "requests (signal again to force-quit)", flush=True)
+        t = threading.Thread(
+            target=drain_server, args=(srv, engine,
+                                       args.drain_timeout_s),
+            daemon=True, name="sonet-serve-drain")
+        drainer.append(t)
+        t.start()
+
+    prev = {s: signal.signal(s, handle)
+            for s in (signal.SIGTERM, signal.SIGINT)}
     try:
         srv.serve_forever()
-    except KeyboardInterrupt:
-        pass
     finally:
-        srv.server_close()
+        for s, h in prev.items():
+            signal.signal(s, h)
+        if drainer:  # signal-initiated: wait for the drain to finish
+            drainer[0].join(args.drain_timeout_s + 5)
+        else:        # programmatic shutdown (tests): drain inline
+            drain_server(srv, engine, args.drain_timeout_s)
+        print(json.dumps({"drained": True, **engine.stats()}), flush=True)
+    return 0
 
 
 if __name__ == "__main__":

@@ -99,7 +99,7 @@ class TestServingEngine:
         batch sharded over data x points)."""
         eng8 = ServingEngine.from_run(run_dir, mesh_shape=(4, 2))
         assert eng8.manifest["mesh_shape"] == [4, 2]
-        assert eng8.manifest["pooling"] == "scatter"
+        assert eng8.manifest["pooling"] == "scatter"  # 'auto' on CPU
         B = engine.batch_size
         x = _inputs(engine, B + 2, seed=31)   # chunk + pad through the mesh
         np.testing.assert_allclose(eng8.predict(x), engine.predict(x),
@@ -107,10 +107,11 @@ class TestServingEngine:
         with pytest.raises(ValueError, match="divide"):
             ServingEngine.from_run(run_dir, mesh_shape=(3,))
 
-    def test_mesh_engine_forces_shardable_pooling(self, run_dir):
-        """A run whose config PINS pooling='sorted_window' (the Pallas
-        kernel, no partitioning rules) must still serve on a mesh: the
-        engine falls back to the shardable scatter form."""
+    def test_mesh_engine_keeps_pinned_fast_pooling(self, run_dir, engine):
+        """A run whose config PINS pooling='sorted_window' serves on a
+        mesh WITH the fast kernel (shard_map per shard + cross-shard
+        pmax, VERDICT r2 #1 — the old behavior downgraded to scatter)
+        and matches single-device serving."""
         cfg_path = os.path.join(run_dir, "config.json")
         with open(cfg_path) as f:
             saved = f.read()
@@ -120,9 +121,11 @@ class TestServingEngine:
             with open(cfg_path, "w") as f:
                 json.dump(cfg, f)
             eng = ServingEngine.from_run(run_dir, mesh_shape=(2,))
-            assert eng.manifest["pooling"] == "scatter"
-            out = eng.predict(_inputs(eng, 2, seed=5))
-            assert np.isfinite(out).all()
+            assert eng.manifest["pooling"] == "sorted_window"
+            B = eng.batch_size
+            x = _inputs(eng, B, seed=5)
+            np.testing.assert_allclose(eng.predict(x), engine.predict(x),
+                                       rtol=1e-5, atol=1e-5)
         finally:
             with open(cfg_path, "w") as f:
                 f.write(saved)
@@ -281,6 +284,112 @@ class TestHTTPServer:
         finally:
             srv.shutdown()
             srv.server_close()
+
+    def test_drain_completes_inflight_and_refuses_new(self):
+        """SIGTERM-equivalent drain (VERDICT r2 #4): the in-flight
+        request completes with 200 while healthz flips to 503 and new
+        predicts are refused; afterwards the listener is closed."""
+        serve_task = _load_serve_task()
+
+        release = threading.Event()
+        entered = threading.Event()
+
+        class SlowStub:
+            manifest = {"task": "classify", "inputs": [
+                {"name": "x", "shape": [1, 2], "dtype": "float32"}]}
+            stopped_microbatch = False
+
+            def predict(self, inputs):
+                entered.set()
+                assert release.wait(timeout=60)
+                return np.asarray(inputs["x"], np.float32) + 1.0
+
+            def stats(self):
+                return {"task": "classify"}
+
+            def stop_microbatch(self):
+                self.stopped_microbatch = True
+
+        stub = SlowStub()
+        srv = serve_task.make_server(stub, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        body = json.dumps({"x": [[1.0, 2.0]]}).encode()
+
+        inflight = {}
+
+        def slow_request():
+            try:
+                inflight["status"], raw, _ = self._post(
+                    url + "/v1/predict", body)
+                inflight["out"] = json.loads(raw)["output"]
+            except Exception as e:  # pragma: no cover - failure detail
+                inflight["error"] = e
+
+        t = threading.Thread(target=slow_request)
+        t.start()
+        assert entered.wait(timeout=30)  # request is now in flight
+
+        drain_result = {}
+        d = threading.Thread(target=lambda: drain_result.update(
+            clean=serve_task.drain_server(srv, stub, timeout_s=60)))
+        d.start()
+        assert srv.draining.wait(timeout=30)
+
+        # while draining: not-ready healthz, new predicts refused
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(url + "/healthz", timeout=30)
+        assert ei.value.code == 503
+        assert json.loads(ei.value.read())["status"] == "draining"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(url + "/v1/predict", body)
+        assert ei.value.code == 503
+        assert ei.value.headers.get("Retry-After") is not None
+
+        # in-flight request completes normally
+        release.set()
+        t.join(timeout=60)
+        d.join(timeout=60)
+        assert inflight.get("status") == 200, inflight
+        assert inflight["out"] == [[2.0, 3.0]]
+        assert drain_result["clean"] is True
+        assert stub.stopped_microbatch
+        # listener is closed: connections now fail outright
+        with pytest.raises((urllib.error.URLError, ConnectionError, OSError)):
+            urllib.request.urlopen(url + "/healthz", timeout=5)
+
+    def test_drain_idempotent_and_timeout(self):
+        """drain_server returns False when in-flight work exceeds the
+        timeout, and a second call is a no-op returning True."""
+        serve_task = _load_serve_task()
+        release = threading.Event()
+        entered = threading.Event()
+
+        class Stub:
+            manifest = {"task": "classify", "inputs": [
+                {"name": "x", "shape": [1, 2], "dtype": "float32"}]}
+
+            def predict(self, inputs):
+                entered.set()
+                release.wait(timeout=60)
+                return np.asarray(inputs["x"], np.float32)
+
+            def stats(self):
+                return {}
+
+        stub = Stub()
+        srv = serve_task.make_server(stub, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        body = json.dumps({"x": [[0.0, 0.0]]}).encode()
+        t = threading.Thread(target=lambda: self._post(
+            url + "/v1/predict", body))
+        t.start()
+        assert entered.wait(timeout=30)
+        assert serve_task.drain_server(srv, stub, timeout_s=0.2) is False
+        assert serve_task.drain_server(srv, stub, timeout_s=0.2) is True
+        release.set()
+        t.join(timeout=60)
 
     def test_errors(self, server, engine):
         # wrong input names -> 400 with the engine's message
