@@ -236,6 +236,87 @@ class TestGraftEntry:
         ge.dryrun_multichip(8)
 
 
+class TestCrossMeshRestore:
+    """Resuming onto a different topology than the save (pod reshape
+    after preemption) — VERDICT r2 #6: metric/step continuity and
+    correct NamedSharding placement of the restored state."""
+
+    def _cfg(self, tmp, mesh_shape):
+        return cfg_mod.tiny_test().replace(
+            batch_size=8, input_pc_num=64, epochs=1, checkpoint_every=1,
+            checkpoints_dir=str(tmp), name="xmesh",
+            mesh_shape=mesh_shape)
+
+    def _params_close(self, a, b):
+        fa = jax.tree_util.tree_leaves(a)
+        fb = jax.tree_util.tree_leaves(b)
+        assert len(fa) == len(fb)
+        for x, y in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_single_to_mesh_and_back(self, tmp_path):
+        from sonet_tpu.train.trainer import Trainer
+
+        # train + save on a single device
+        t1 = Trainer(self._cfg(tmp_path, (1, 1)), quiet=True, resume=False)
+        t1.fit(epochs=1)
+        step1 = int(t1.state.step)
+        assert step1 > 0
+
+        # resume onto a 4x2 mesh: same step, same params, state placed
+        # as NamedSharding over the new mesh
+        t2 = Trainer(self._cfg(tmp_path, (4, 2)), quiet=True, resume=True)
+        assert int(t2.state.step) == step1
+        self._params_close(t1.state.params, t2.state.params)
+        leaf = jax.tree_util.tree_leaves(t2.state.params)[0]
+        assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
+        assert leaf.sharding.mesh.devices.shape == (4, 2)
+        assert leaf.sharding.is_fully_replicated
+        m2 = t2.fit(epochs=1)  # training continues on the mesh
+        assert np.isfinite(m2["loss"])
+        step2 = int(t2.state.step)
+        assert step2 == step1 + t2.steps_per_epoch
+
+        # resume the mesh-saved checkpoint back onto a single device
+        t3 = Trainer(self._cfg(tmp_path, (1, 1)), quiet=True, resume=True)
+        assert int(t3.state.step) == step2
+        self._params_close(t2.state.params, t3.state.params)
+        m3 = t3.fit(epochs=1)
+        assert np.isfinite(m3["loss"])
+        assert int(t3.state.step) == step2 + t3.steps_per_epoch
+
+    def test_checkpoint_roundtrip_mesh_template(self, tmp_path):
+        """checkpoints-level: a state REPLICATED over a mesh saves and
+        restores through a single-device template and vice versa."""
+        from sonet_tpu import train as tr
+
+        cfg = cfg_mod.tiny_test().replace(batch_size=8, input_pc_num=64)
+        model = models.build_model(cfg)
+        batch = _make(cfg)
+        example = (jnp.asarray(batch["pc"]), jnp.asarray(batch["sn"]),
+                   jnp.asarray(batch["node"]))
+        state = tr.init_state(model, cfg, jax.random.PRNGKey(0), example,
+                              steps_per_epoch=10)
+        state = state.replace(step=jnp.asarray(7, state.step.dtype))
+        mesh = make_mesh((4, 2))
+        state_m = replicate(state, mesh)
+        p = tr.save_checkpoint(str(tmp_path / "ck"), state_m, 7)
+        # restore with the single-device state as template
+        restored = tr.restore_checkpoint(p, state)
+        assert int(restored.step) == 7
+        leaf = jax.tree_util.tree_leaves(restored.params)[0]
+        assert not isinstance(leaf.sharding, jax.sharding.NamedSharding)
+        # restore with the mesh-replicated state as template
+        restored_m = tr.restore_checkpoint(p, state_m)
+        leaf = jax.tree_util.tree_leaves(restored_m.params)[0]
+        assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
+        assert leaf.sharding.mesh.devices.shape == (4, 2)
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(restored_m.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestTrainerWithMesh:
     def test_mesh_shape_cli_parse(self):
         cfg = cfg_mod.parse_args(["--preset", "tiny_test",
