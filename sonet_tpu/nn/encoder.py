@@ -237,7 +237,17 @@ class Encoder(nn.Module):
                 name="final_pointnet")(final_in, train=train, epoch=epoch)
 
         final_pn_out = final_pn_out.astype(jnp.float32)
-        feature = jnp.max(final_pn_out, axis=1)  # (B, F) (networks.py:197)
+        # global max over nodes (networks.py:197) with FIRST-WINNER
+        # gradient routing like torch.max: exact cross-node ties are
+        # common here (overlapping kNN neighborhoods make whole node
+        # rows identical — ~20% of channels at small M), and jnp.max
+        # splits tie gradients evenly, which diverges from the
+        # reference's trajectory.  The one-hot product form routes the
+        # cotangent to the first winner with no scatter in the backward.
+        am = jnp.argmax(final_pn_out, axis=1)           # (B, F), first max
+        oh_max = jax.nn.one_hot(am, final_pn_out.shape[1], axis=1,
+                                dtype=final_pn_out.dtype)  # (B, M, F)
+        feature = jnp.sum(final_pn_out * oh_max, axis=1)   # (B, F)
 
         return EncoderOutput(
             feature=feature, min_idx=min_idx, mask_row_max=mask_row_max,

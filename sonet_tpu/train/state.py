@@ -50,11 +50,18 @@ class TrainState(struct.PyTreeNode):
 
 def halving_schedule(lr0: float, decay_step_epochs: int, ratio: float,
                      clip: float, steps_per_epoch: int):
-    """Closed form of the reference's update_learning_rate loop."""
+    """Closed form of the reference's update_learning_rate loop.
+
+    The reference decays AFTER epoch e finishes, when ``e % step == 0
+    and e > 0`` (modelnet/train.py:105-111 and the three sibling
+    loops), so epoch e itself still trains at the old lr and the decay
+    takes effect from epoch e+1: halvings during epoch e =
+    ``floor((e-1)/step)`` (e >= 1), not ``floor(e/step)`` — pinned
+    against a replayed reference loop in tests/test_parity.py."""
 
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)
-        halvings = epoch // max(decay_step_epochs, 1)
+        halvings = jnp.maximum(epoch - 1, 0) // max(decay_step_epochs, 1)
         lr = lr0 * (ratio ** halvings.astype(jnp.float32))
         return jnp.maximum(lr, clip)
 

@@ -65,11 +65,17 @@ class TestClassifyE2E:
         assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
 
     def test_lr_schedule_halves_and_clips(self):
+        # reference semantics: the halving is applied AFTER epoch e
+        # finishes (e % step == 0, e > 0), so it takes effect from
+        # epoch e+1 (modelnet/train.py:105-111; replayed exactly in
+        # test_parity.TestTrainingTrajectoryParity)
         sched = train.halving_schedule(1e-3, 2, 0.5, 1e-5, steps_per_epoch=10)
         assert float(sched(jnp.asarray(0))) == pytest.approx(1e-3)
-        assert float(sched(jnp.asarray(20))) == pytest.approx(5e-4)
-        assert float(sched(jnp.asarray(40))) == pytest.approx(2.5e-4)
-        assert float(sched(jnp.asarray(10_000))) == pytest.approx(1e-5)
+        assert float(sched(jnp.asarray(20))) == pytest.approx(1e-3)   # epoch 2
+        assert float(sched(jnp.asarray(30))) == pytest.approx(5e-4)   # epoch 3
+        assert float(sched(jnp.asarray(40))) == pytest.approx(5e-4)   # epoch 4
+        assert float(sched(jnp.asarray(50))) == pytest.approx(2.5e-4)  # epoch 5
+        assert float(sched(jnp.asarray(100_000))) == pytest.approx(1e-5)
 
     def test_point_dropout_shapes(self):
         pc = jnp.asarray(np.random.RandomState(0).randn(2, 32, 3),
