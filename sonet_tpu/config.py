@@ -87,6 +87,14 @@ class Config:
     # into the train-step jit (data/device_pipeline.py) — the fix for
     # hosts that can't feed ~1800 clouds/s of augmented points
     input_pipeline: str = "host"  # host | native | device
+    # HBM budget for the device-resident pipeline, in GB (0 = unlimited:
+    # the whole split must fit).  When a split exceeds the budget the
+    # pipeline automatically degrades to CHUNKED streaming: the split
+    # stays host-resident and double-buffered super-chunks stream
+    # through HBM, the next chunk staging while the epoch-scan consumes
+    # the current one (data/device_pipeline.ChunkedDeviceData) — any
+    # dataset size trains at device speed instead of OOMing
+    device_budget_gb: float = 0.0
     remat: bool = False  # rematerialize the per-point stacks (memory vs FLOPs)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, points) mesh
     mesh_axes: Tuple[str, ...] = ("data", "points")

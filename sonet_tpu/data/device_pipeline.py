@@ -44,15 +44,8 @@ class DeviceData(NamedTuple):
         return self.pc.shape[0]
 
 
-def load_device_data(dataset, device=None, mesh=None) -> DeviceData:
-    """Stack a map-style dataset's RAW items and put them on device.
-
-    With ``mesh``, the arrays are REPLICATED over it: at SO-Net scale a
-    whole split is ~2.4 GB of a 16 GB HBM, so replication (rather than
-    sharding the item axis) keeps every batch gather local — the epoch
-    index table is what gets sharded over the data axis
-    (Trainer._device_epoch_index), so each chip gathers and augments
-    only its batch shard with no collectives.
+def stack_host_split(dataset) -> dict:
+    """Stack a map-style dataset's RAW items into host numpy arrays.
 
     Requires ``dataset.raw_item(idx)`` (full-resolution, no subsample or
     augmentation).  Falling back to ``dataset[idx]`` would silently bake
@@ -75,20 +68,165 @@ def load_device_data(dataset, device=None, mesh=None) -> DeviceData:
         item = get(i) if i else first
         for k in keys:
             host[k][i] = item[k]
+    host["label"] = host["label"].astype(np.int64)
+    return host
+
+
+def split_nbytes(host: dict) -> int:
+    return sum(a.nbytes for a in host.values())
+
+
+def _make_put(device=None, mesh=None):
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sharding = NamedSharding(mesh, P())
-        put = lambda x: jax.device_put(x, sharding)  # noqa: E731
-    elif device is not None:
-        put = lambda x: jax.device_put(x, device)  # noqa: E731
-    else:
-        put = jax.device_put
+        return lambda x: jax.device_put(x, sharding)
+    if device is not None:
+        return lambda x: jax.device_put(x, device)
+    return jax.device_put
+
+
+def _to_device_data(host: dict, put) -> DeviceData:
     return DeviceData(
         pc=put(host["pc"]),
         sn=put(host["sn"]) if "sn" in host else None,
         node=put(host["node"]),
-        label=put(host["label"].astype(np.int64)),
+        label=put(host["label"]),
         seg=put(host["seg"]) if "seg" in host else None)
+
+
+def device_data_from_host(host: dict, device=None, mesh=None) -> DeviceData:
+    """Ship pre-stacked host arrays (``stack_host_split``) to device."""
+    return _to_device_data(host, _make_put(device, mesh))
+
+
+def load_device_data(dataset, device=None, mesh=None) -> DeviceData:
+    """Stack a map-style dataset's RAW items and put them on device.
+
+    With ``mesh``, the arrays are REPLICATED over it: at SO-Net scale a
+    whole split is ~2.4 GB of a 16 GB HBM, so replication (rather than
+    sharding the item axis) keeps every batch gather local — the epoch
+    index table is what gets sharded over the data axis
+    (Trainer._device_epoch_index), so each chip gathers and augments
+    only its batch shard with no collectives.
+
+    For splits larger than HBM use ``ChunkedDeviceData`` (the Trainer
+    picks automatically from ``--device_budget_gb``)."""
+    return _to_device_data(stack_host_split(dataset),
+                           _make_put(device, mesh))
+
+
+class ChunkedDeviceData:
+    """Streaming variant of the device-resident pipeline for splits
+    bigger than the HBM budget (VERDICT r2 #2).
+
+    The stacked split stays HOST-resident; each epoch is served as a
+    sequence of fixed-size super-chunks of items.  A background thread
+    stages chunk k+1 (host slice + ``device_put``) while the epoch-scan
+    consumes chunk k, so with ``chunk_scan_ms >= transfer_ms`` the
+    device never starves — the budget is sized for TWO resident chunks
+    (the consumed one and the staging one).
+
+    Epoch semantics match the resident pipeline exactly: one GLOBAL
+    shuffle per epoch (same seed recipe as Trainer._device_epoch_index),
+    then contiguous chunking — so the batch sequence, the per-step
+    train rng (folded from ``state.step``) and therefore the whole
+    training trajectory are identical to the resident pipeline (pinned
+    by tests/test_device_pipeline.py).  The reference's analogue is the
+    8-worker streaming DataLoader (modelnet/train.py:25,
+    modelnet_shrec_loader.py:193-202), which never holds the dataset in
+    device memory at all — and runs ~40-130x slower than device-side
+    augmentation on this host (docs/DESIGN.md)."""
+
+    def __init__(self, dataset_or_host, budget_bytes: int,
+                 batch_size: int, device=None, mesh=None, seed: int = 0):
+        host = (dataset_or_host if isinstance(dataset_or_host, dict)
+                else stack_host_split(dataset_or_host))
+        self.host = host
+        self.size = host["pc"].shape[0]
+        self.seed = seed
+        self._put = _make_put(device, mesh)
+        self.mesh = mesh
+        bpi = max(split_nbytes(host) // max(self.size, 1), 1)
+        # two chunks resident (double buffer); at least one batch each
+        per_chunk = max(int(budget_bytes) // (2 * bpi), batch_size)
+        self.chunk_items = max(per_chunk // batch_size, 1) * batch_size
+        self.num_chunks = -(-self.size // self.chunk_items)
+
+    def _table(self, n_rows: int, batch_size: int):
+        """Within-chunk index table (S, B) over ``n_rows`` staged rows,
+        padded to full batches by repeating the last row; returns
+        (table, valids)."""
+        B = batch_size
+        rows, valids = [], []
+        for i in range(0, n_rows, B):
+            n = min(B, n_rows - i)
+            valids.append(n)
+            row = np.arange(i, i + n, dtype=np.int32)
+            if n < B:
+                row = np.concatenate([row, np.full(B - n, row[-1],
+                                                   np.int32)])
+            rows.append(row)
+        return np.stack(rows), valids
+
+    def _stage(self, ids: np.ndarray, batch_size: int):
+        """Slice + ship one chunk; returns (DeviceData, table, valids)."""
+        chunk = {k: a[ids] for k, a in self.host.items()}
+        table, valids = self._table(len(ids), batch_size)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            table = jax.device_put(
+                table, NamedSharding(self.mesh,
+                                     P(None, self.mesh.axis_names[0])))
+        else:
+            table = jnp.asarray(table)
+        return _to_device_data(chunk, self._put), table, valids
+
+    def epoch_chunks(self, shuffle: bool, epoch: int, batch_size: int,
+                     drop_last: bool):
+        """Yield ``(DeviceData, idx_table, valids)`` per chunk, staging
+        one chunk ahead on a background thread.
+
+        All chunks except the tail have exactly ``chunk_items`` items;
+        with ``drop_last`` the global order is first truncated to a
+        multiple of ``batch_size`` (resident-pipeline parity), so only
+        the tail chunk compiles a second program shape — constant
+        across epochs."""
+        import queue as _queue
+        import threading
+
+        order = np.arange(self.size)
+        if shuffle:
+            order = np.random.default_rng(
+                self.seed + 1000 + epoch).permutation(self.size)
+        if drop_last:
+            order = order[: (len(order) // batch_size) * batch_size]
+        if len(order) == 0:
+            return
+        chunks = [order[i:i + self.chunk_items]
+                  for i in range(0, len(order), self.chunk_items)]
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=1)
+
+        def produce():
+            try:
+                for ids in chunks:
+                    q.put(("ok", self._stage(ids, batch_size)))
+            except Exception as e:  # surface staging errors to the consumer
+                q.put(("err", e))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="sonet-chunk-stage")
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            kind, payload = item
+            if kind == "err":
+                raise payload
+            yield payload
 
 
 def _rot_y(theta):
@@ -238,8 +376,13 @@ def make_device_epoch_fns(model, cfg: Config, steps_per_epoch: int):
 
     train_epoch_fn(state, data, epoch_idx (S, B), rng)
         -> (state, {metric: (S,)})
-    eval_epoch_fn(state, data, epoch_idx (S, B))
+    eval_epoch_fn(state, data, epoch_idx (S, B), i0 (int32 scalar))
         -> {metric: (S, ...)} with per-item ``*_i`` arrays (S, B)
+
+    ``i0`` is the global batch counter of the first scanned row — the
+    per-batch eval rng folds it in, so the CHUNKED pipeline (which
+    scans each super-chunk separately) reproduces the resident
+    pipeline's eval subsampling exactly by passing its running offset.
     """
     from ..train.loops import make_steps
 
@@ -256,7 +399,7 @@ def make_device_epoch_fns(model, cfg: Config, steps_per_epoch: int):
 
         return jax.lax.scan(body, state, epoch_idx)
 
-    def eval_epoch_fn(state, data: DeviceData, epoch_idx):
+    def eval_epoch_fn(state, data: DeviceData, epoch_idx, i0):
         def body(i, idx):
             r = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), i)
             batch = sample_batch(data, idx, r, cfg, train=False)
@@ -267,7 +410,7 @@ def make_device_epoch_fns(model, cfg: Config, steps_per_epoch: int):
                  if k.endswith("_i") or (hasattr(v, "ndim") and v.ndim == 0)}
             return i + 1, m
 
-        _, ms = jax.lax.scan(body, 0, epoch_idx)
+        _, ms = jax.lax.scan(body, jnp.asarray(i0, jnp.int32), epoch_idx)
         return ms
 
     return (jax.jit(train_epoch_fn, donate_argnums=0),

@@ -145,17 +145,38 @@ class Trainer:
         self.train_step, self.eval_step = make_steps(self.model, cfg,
                                                      self.steps_per_epoch)
         # device-resident pipeline (data/device_pipeline.py): the whole
-        # split lives in HBM and subsample+augment fuse into the step jit
+        # split lives in HBM and subsample+augment fuse into the step
+        # jit.  --device_budget_gb bounds HBM use: an over-budget split
+        # automatically degrades to chunked streaming (host-resident
+        # split, double-buffered super-chunks) instead of OOMing.
         self.device_train = self.device_eval = None
         if cfg.input_pipeline == "device":
-            from ..data.device_pipeline import (load_device_data,
-                                                make_device_epoch_fns)
-            # under a mesh: dataset replicated, index table sharded over
-            # 'data' (see load_device_data docstring)
-            self.device_train = load_device_data(self.train_set,
-                                                 mesh=self.mesh)
-            self.device_eval = load_device_data(self.test_set,
-                                                mesh=self.mesh)
+            from ..data.device_pipeline import (ChunkedDeviceData,
+                                                device_data_from_host,
+                                                make_device_epoch_fns,
+                                                split_nbytes,
+                                                stack_host_split)
+            budget = int(cfg.device_budget_gb * 1e9)
+
+            def build(dataset, what):
+                # under a mesh: dataset replicated, index table sharded
+                # over 'data' (see load_device_data docstring)
+                host = stack_host_split(dataset)
+                nbytes = split_nbytes(host)
+                if budget > 0 and nbytes > budget:
+                    cd = ChunkedDeviceData(host, budget, cfg.batch_size,
+                                           mesh=self.mesh, seed=cfg.seed)
+                    print(f"device pipeline [{what}]: split "
+                          f"{nbytes / 1e9:.2f} GB exceeds "
+                          f"--device_budget_gb {cfg.device_budget_gb:g} "
+                          f"— streaming {cd.num_chunks} chunks of "
+                          f"{cd.chunk_items} items (double-buffered)",
+                          flush=True)
+                    return cd
+                return device_data_from_host(host, mesh=self.mesh)
+
+            self.device_train = build(self.train_set, "train")
+            self.device_eval = build(self.test_set, "eval")
             self.train_epoch_dev, self.eval_epoch_dev = \
                 make_device_epoch_fns(self.model, cfg, self.steps_per_epoch)
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -222,11 +243,34 @@ class Trainer:
                                      P(None, self.cfg.mesh_axes[0]))), valids
         return jnp.asarray(table), valids
 
+    def _is_chunked(self, data) -> bool:
+        from ..data.device_pipeline import ChunkedDeviceData
+        return isinstance(data, ChunkedDeviceData)
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         t0 = time.perf_counter()
         metrics = None
         steps = 0
-        if self.device_train is not None:
+        if self.device_train is not None and self._is_chunked(
+                self.device_train):
+            # chunked streaming: one epoch-scan dispatch per super-chunk,
+            # the next chunk staging host-side while this one runs
+            parts = []
+            for dd, table, _valids in self.device_train.epoch_chunks(
+                    True, epoch, self.cfg.batch_size, drop_last=True):
+                self.state, ms = self.train_epoch_dev(
+                    self.state, dd, table, self.rng)
+                parts.append({k: np.asarray(v) for k, v in ms.items()})
+                steps += len(table)
+            if parts:
+                ms = {k: np.concatenate([p[k] for p in parts])
+                      for k in parts[0]}
+                for i in range(0, steps, self.log_every):
+                    self.logger.log(int(self.state.step) - steps + i + 1,
+                                    {k: float(v[i]) for k, v in ms.items()},
+                                    epoch=epoch, prefix="train_")
+                metrics = {k: v[-1] for k, v in ms.items()}
+        elif self.device_train is not None:
             epoch_idx, _valids = self._device_epoch_index(
                 self.device_train, True, epoch)
             if epoch_idx is not None:
@@ -261,12 +305,24 @@ class Trainer:
         return last
 
     def _eval_batches(self):
-        if self.device_eval is not None:
+        if self.device_eval is not None and self._is_chunked(
+                self.device_eval):
+            i0 = 0
+            for dd, table, valids in self.device_eval.epoch_chunks(
+                    False, 0, self.cfg.batch_size, drop_last=False):
+                ms = self.eval_epoch_dev(self.state, dd, table,
+                                         jnp.asarray(i0, jnp.int32))
+                i0 += len(table)
+                ms = {k: np.asarray(v) for k, v in ms.items()}
+                for i, valid in enumerate(valids):
+                    yield None, {k: v[i] for k, v in ms.items()}, valid
+        elif self.device_eval is not None:
             epoch_idx, valids = self._device_epoch_index(
                 self.device_eval, False, 0)
             if epoch_idx is None:
                 return
-            ms = self.eval_epoch_dev(self.state, self.device_eval, epoch_idx)
+            ms = self.eval_epoch_dev(self.state, self.device_eval,
+                                     epoch_idx, jnp.asarray(0, jnp.int32))
             ms = {k: np.asarray(v) for k, v in ms.items()}  # one sync
             for i, valid in enumerate(valids):
                 yield None, {k: v[i] for k, v in ms.items()}, valid

@@ -142,7 +142,7 @@ class TestTrainerDevicePipeline:
             # AFTER 2 Adam steps is excluded: Adam's m/sqrt(v) with
             # v ~ 0 amplifies f32 all-reduce reassociation noise into
             # O(1%) parameter drift (sign-sensitive near-zero grads)
-            ev0 = efn(state, data, table)
+            ev0 = efn(state, data, table, jnp.asarray(0, jnp.int32))
             state, ms = tfn(state, data, table, jax.random.PRNGKey(1))
             return (np.asarray(ev0["loss"]), np.asarray(ms["loss"]))
 
@@ -173,3 +173,92 @@ class TestTrainerDevicePipeline:
         np.testing.assert_array_equal(np.asarray(data.pc[0]), raw0["pc"])
         np.testing.assert_array_equal(np.asarray(data.node[0]),
                                       raw0["node"])
+
+
+class TestChunkedDevicePipeline:
+    """Splits bigger than the HBM budget stream through double-buffered
+    super-chunks instead of OOMing (VERDICT r2 #2)."""
+
+    def _host(self, T=20, N=16, M=4, seed=0):
+        rs = np.random.RandomState(seed)
+        return {
+            "pc": rs.randn(T, N, 3).astype(np.float32),
+            "sn": rs.randn(T, N, 3).astype(np.float32),
+            "node": rs.randn(T, M, 3).astype(np.float32),
+            "label": np.arange(T, dtype=np.int64),  # identity -> item id
+        }
+
+    def test_epoch_chunks_cover_global_shuffle(self):
+        from sonet_tpu.data.device_pipeline import ChunkedDeviceData
+
+        host = self._host(T=20)
+        bpi = sum(a.nbytes for a in host.values()) // 20
+        # budget for 2 chunks of ~8 items -> chunk_items = 8 (B=4)
+        cd = ChunkedDeviceData(host, budget_bytes=2 * 8 * bpi,
+                               batch_size=4, seed=5)
+        assert cd.chunk_items == 8 and cd.num_chunks == 3
+
+        def epoch_items(epoch, shuffle, drop_last):
+            seen = []
+            sizes = []
+            for dd, table, valids in cd.epoch_chunks(shuffle, epoch, 4,
+                                                     drop_last):
+                t = np.asarray(table)
+                labels = np.asarray(dd.label)
+                sizes.append(dd.pc.shape[0])
+                for r, valid in zip(t, valids):
+                    seen.extend(labels[r[:valid]].tolist())
+            return seen, sizes
+
+        e0, sizes = epoch_items(0, True, True)
+        assert sizes == [8, 8, 4]          # fixed chunk + constant tail
+        assert sorted(e0) == list(range(20))   # full coverage, no dupes
+        e1, _ = epoch_items(1, True, True)
+        assert sorted(e1) == list(range(20))
+        assert e0 != e1                     # reshuffled across epochs
+        # shuffling crosses chunk boundaries: chunk 0 of epoch 0 is not
+        # just a permutation of chunk 0 of epoch 1
+        assert set(e0[:8]) != set(e1[:8])
+        # eval mode: in order, no shuffle, tail batch padded + valids
+        ev, _ = epoch_items(0, False, False)
+        assert ev == list(range(20))
+
+    def test_drop_last_trims_like_resident(self):
+        from sonet_tpu.data.device_pipeline import ChunkedDeviceData
+
+        host = self._host(T=19)
+        cd = ChunkedDeviceData(host, budget_bytes=1, batch_size=4, seed=0)
+        assert cd.chunk_items == 4          # floor at one batch
+        seen = []
+        for dd, table, valids in cd.epoch_chunks(True, 0, 4, True):
+            assert valids == [4]
+            seen.extend(np.asarray(dd.label)[np.asarray(table)[0]].tolist())
+        assert len(seen) == 16              # 19 -> 16 (drop last, B=4)
+        assert len(set(seen)) == 16
+
+    def test_chunked_trainer_matches_resident(self, tmp_path):
+        """Forcing the budget below the split size must not change the
+        training trajectory or the eval metrics — same global shuffle,
+        same step rng, same batches, just streamed."""
+        common = dict(input_pipeline="device", epochs=1, dropout=0.0,
+                      checkpoints_dir=str(tmp_path))
+        t_res = Trainer(_cfg(**common, name="chunk_res"), quiet=True,
+                        resume=False)
+        m_res = t_res.fit(epochs=1)
+
+        t_chk = Trainer(_cfg(**common, name="chunk_chk",
+                             device_budget_gb=1e-6), quiet=True,
+                        resume=False)
+        from sonet_tpu.data.device_pipeline import ChunkedDeviceData
+        assert isinstance(t_chk.device_train, ChunkedDeviceData)
+        assert t_chk.device_train.num_chunks > 1
+        m_chk = t_chk.fit(epochs=1)
+
+        assert int(t_res.state.step) == int(t_chk.state.step)
+        for k in m_res:
+            np.testing.assert_allclose(m_res[k], m_chk[k], rtol=1e-4,
+                                       atol=1e-5, err_msg=k)
+        for a, b in zip(jax.tree_util.tree_leaves(t_res.state.params),
+                        jax.tree_util.tree_leaves(t_chk.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
