@@ -13,6 +13,11 @@ Subcommands:
 * ``check``   — validate a prepared tree against a loader layout
   (split lists, file existence, array shapes/finiteness) BEFORE
   training instead of crashing mid-epoch in a loader worker.
+* ``ingest``  — unpack a published prepared-dataset archive
+  (reference README.md:45-49) into a validated dataroot: locates the
+  layout root inside the archive, records the sha256 in
+  ``<dest>/ingest.json`` and finishes with ``check`` (VERDICT r2 #7;
+  walkthrough in MIGRATING.md §2).
 
 The SOM fit samples ``--som_sample`` points per shape (4096, matching
 save_som.ipynb cell 1), stacks shapes into batches and runs the jitted
@@ -317,6 +322,144 @@ def cmd_check(args) -> None:
         sys.exit(1)
 
 
+# --------------------------------------------------------------------------
+# ingest: published prepared archives -> validated dataset trees
+# --------------------------------------------------------------------------
+
+_LAYOUT_MARKER = {
+    # file whose presence identifies a layout root (the loaders' split
+    # lists: modelnet.py:37-53, :56-80, shapenet.py:38-44)
+    "modelnet": lambda d, a: os.path.exists(
+        os.path.join(d, f"modelnet{a.classes}_shape_names.txt")),
+    "shrec": lambda d, a: (os.path.exists(os.path.join(d, "category.txt"))
+                           and os.path.exists(os.path.join(d, "train.txt"))),
+    "shapenet": lambda d, a: os.path.exists(
+        os.path.join(d, "train_test_split",
+                     "shuffled_train_file_list.json")),
+}
+
+
+def _sha256(path: str) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _extract_archive(archive: str, out_dir: str) -> None:
+    """Safe extraction for .zip / .tar(.gz|.bz2|.xz) (path-traversal
+    guarded; the stdlib default tar extraction is unsafe pre-3.14)."""
+    import tarfile
+    import zipfile
+
+    if zipfile.is_zipfile(archive):
+        with zipfile.ZipFile(archive) as z:
+            base = os.path.realpath(out_dir)
+            for info in z.infolist():
+                target = os.path.realpath(os.path.join(out_dir,
+                                                       info.filename))
+                if not (target == base
+                        or target.startswith(base + os.sep)):
+                    raise ValueError(
+                        f"archive member escapes the target dir: "
+                        f"{info.filename!r}")
+            z.extractall(out_dir)
+        return
+    if tarfile.is_tarfile(archive):
+        with tarfile.open(archive) as t:
+            t.extractall(out_dir, filter="data")
+        return
+    raise ValueError(f"{archive}: not a zip or tar archive (for other "
+                     f"formats, extract manually and pass the directory)")
+
+
+def _find_layout_root(tree: str, args) -> tuple:
+    """(dir, layout) of the first directory that matches a layout marker
+    (topdown walk: the shallowest match wins)."""
+    layouts = ([args.layout] if args.layout
+               else ["modelnet", "shrec", "shapenet"])
+    for dirpath, dirnames, _ in os.walk(tree):
+        dirnames.sort()
+        for layout in layouts:
+            if _LAYOUT_MARKER[layout](dirpath, args):
+                return dirpath, layout
+    raise FileNotFoundError(
+        f"no {'/'.join(layouts)} layout root found in the archive "
+        f"(looked for the loaders' split-list files; for modelnet the "
+        f"marker is modelnet{args.classes}_shape_names.txt — pass "
+        f"--classes to match the archive)")
+
+
+def cmd_ingest(args) -> None:
+    """Unpack a published prepared-dataset archive into a validated
+    tree: the one-command path from the author's prepared downloads
+    (reference README.md:45-49) to a train-ready --dataroot
+    (VERDICT r2 #7).  Records the archive checksum in
+    ``<dest>/ingest.json`` and finishes with ``prep check``."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    src = args.archive
+    dest = args.dest
+    if os.path.exists(dest) and os.listdir(dest) and not args.force:
+        print(f"{dest} exists and is not empty (pass --force to merge "
+              f"into it)", file=sys.stderr)
+        sys.exit(1)
+    os.makedirs(dest, exist_ok=True)
+
+    manifest = {"archive": os.path.abspath(src)}
+    tmp = None
+    try:
+        if os.path.isdir(src):
+            tree = src
+            move = False  # never destroy a user-supplied directory
+        else:
+            manifest["sha256"] = _sha256(src)
+            manifest["bytes"] = os.path.getsize(src)
+            # extract next to dest: same filesystem -> moves are renames
+            tmp = tempfile.mkdtemp(prefix=".ingest_",
+                                   dir=os.path.dirname(os.path.abspath(
+                                       dest)) or ".")
+            print(f"extracting {src} ...", flush=True)
+            _extract_archive(src, tmp)
+            tree = tmp
+            move = True
+
+        root, layout = _find_layout_root(tree, args)
+        manifest["layout"] = layout
+        manifest["root_in_archive"] = os.path.relpath(root, tree)
+        n_files = 0
+        for entry in sorted(os.listdir(root)):
+            s = os.path.join(root, entry)
+            d = os.path.join(dest, entry)
+            if move:
+                shutil.move(s, d)
+            elif os.path.isdir(s):
+                shutil.copytree(s, d, dirs_exist_ok=args.force)
+            else:
+                shutil.copy2(s, d)
+            n_files += 1
+        manifest["entries"] = n_files
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(os.path.join(dest, "ingest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2)
+    print(_json.dumps({"ingested": dest, **{k: manifest[k] for k in
+                                            ("layout", "entries")}}),
+          flush=True)
+
+    if not args.no_check:
+        check = argparse.Namespace(
+            root=dest, layout=manifest["layout"], rows=args.rows,
+            classes=args.classes, load=args.load, min_points=1)
+        cmd_check(check)  # exits nonzero on problems
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="sonet_tpu.data.prep")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -340,6 +483,25 @@ def main(argv=None) -> None:
                     choices=("prep", "online"))
     pm.add_argument("--seed", type=int, default=0)
     pm.set_defaults(fn=cmd_som)
+
+    pi = sub.add_parser("ingest", help="unpack + validate a published "
+                                       "prepared-dataset archive")
+    pi.add_argument("--archive", required=True,
+                    help=".zip/.tar(.gz) archive or a pre-extracted dir")
+    pi.add_argument("--dest", required=True,
+                    help="destination dataroot to create")
+    pi.add_argument("--layout", default=None,
+                    choices=("modelnet", "shrec", "shapenet"),
+                    help="expected layout (default: auto-detect)")
+    pi.add_argument("--rows", type=int, default=8)
+    pi.add_argument("--classes", type=int, default=40)
+    pi.add_argument("--load", type=int, default=16,
+                    help="items to fully load per split in the final "
+                         "check (-1 = all)")
+    pi.add_argument("--force", action="store_true",
+                    help="merge into a non-empty --dest")
+    pi.add_argument("--no_check", action="store_true")
+    pi.set_defaults(fn=cmd_ingest)
 
     pc = sub.add_parser("check", help="validate a prepared dataset tree")
     pc.add_argument("--root", required=True)

@@ -333,6 +333,110 @@ class TestPrepCLI:
         assert data["sn"].shape == (100, 3)
 
 
+class TestPrepIngest:
+    """`prep ingest`: published prepared archive -> validated dataroot
+    (VERDICT r2 #7) for all three documented layouts."""
+
+    def _pack(self, tree, archive, fmt):
+        import shutil
+        base = str(archive).rsplit(".", 2 if fmt == "gztar" else 1)[0]
+        # nest the layout root one level down, like published archives
+        return shutil.make_archive(base, fmt,
+                                   root_dir=os.path.dirname(tree),
+                                   base_dir=os.path.basename(tree))
+
+    def _ingest(self, argv):
+        from sonet_tpu.data import prep
+        prep.main(argv)
+
+    @pytest.mark.parametrize("fmt", ["zip", "gztar"])
+    def test_ingest_modelnet_archive(self, tmp_path, fmt, capsys):
+        cfg = tiny()
+        (tmp_path / "src").mkdir()
+        tree = _fake_modelnet(tmp_path / "src", cfg)
+        arc = self._pack(tree, tmp_path / f"mn.{fmt}", fmt)
+        dest = tmp_path / "dataroot"
+        self._ingest(["ingest", "--archive", arc, "--dest", str(dest),
+                      "--rows", str(cfg.rows),
+                      "--classes", str(cfg.classes), "--load", "-1"])
+        out = capsys.readouterr().out.strip().splitlines()
+        report = json.loads(out[-1])
+        assert report["ok"] and report["layout"] == "modelnet"
+        with open(dest / "ingest.json") as f:
+            manifest = json.load(f)
+        assert manifest["layout"] == "modelnet"
+        assert len(manifest["sha256"]) == 64
+        assert manifest["root_in_archive"] == "modelnet"
+        # the ingested tree actually loads
+        from sonet_tpu.data.modelnet import ModelNetDataset
+        ds = ModelNetDataset(str(dest), "train",
+                             cfg.replace(dataroot=str(dest)))
+        item = ds[0]
+        assert item["pc"].shape[1] == 3
+
+    def test_ingest_autodetects_shrec_and_shapenet(self, tmp_path, capsys):
+        cfg = tiny()
+        # shrec tree
+        root = tmp_path / "src" / "shrec_tree"
+        rs = np.random.RandomState(3)
+        (root / f"{cfg.rows}x{cfg.rows}" / "train").mkdir(parents=True)
+        (root / "category.txt").write_text("cat_a\n")
+        (root / "train.txt").write_text("000001,cat_a\n")
+        np.savez(root / f"{cfg.rows}x{cfg.rows}" / "train"
+                 / "model_000001.npz",
+                 pc=rs.randn(50, 3).astype(np.float32),
+                 sn=rs.randn(50, 3).astype(np.float32),
+                 som_node=rs.randn(cfg.node_num, 3).astype(np.float32))
+        arc = self._pack(str(root), tmp_path / "sh.zip", "zip")
+        dest = tmp_path / "shrec_root"
+        self._ingest(["ingest", "--archive", arc, "--dest", str(dest),
+                      "--rows", str(cfg.rows), "--load", "-1"])
+        report = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["ok"] and report["layout"] == "shrec"
+
+        # shapenet tree, passed as a pre-extracted DIRECTORY
+        (tmp_path / "src2").mkdir()
+        tree = _fake_shapenet(tmp_path / "src2", cfg)
+        dest2 = tmp_path / "shapenet_root"
+        self._ingest(["ingest", "--archive", os.path.dirname(tree),
+                      "--dest", str(dest2), "--rows", str(cfg.rows),
+                      "--load", "-1"])
+        report = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert report["ok"] and report["layout"] == "shapenet"
+        # directory input is copied, never moved
+        assert os.path.exists(tree)
+
+    def test_ingest_refuses_nonempty_dest_and_traversal(self, tmp_path):
+        import zipfile
+        cfg = tiny()
+        (tmp_path / "src").mkdir()
+        tree = _fake_modelnet(tmp_path / "src", cfg)
+        arc = self._pack(tree, tmp_path / "mn.zip", "zip")
+        dest = tmp_path / "occupied"
+        dest.mkdir()
+        (dest / "something").write_text("x")
+        with pytest.raises(SystemExit):
+            self._ingest(["ingest", "--archive", arc, "--dest", str(dest),
+                          "--classes", str(cfg.classes)])
+        # path-traversal member is rejected before extraction
+        evil = tmp_path / "evil.zip"
+        with zipfile.ZipFile(evil, "w") as z:
+            z.writestr("../escape.txt", "nope")
+        with pytest.raises(ValueError, match="escapes"):
+            self._ingest(["ingest", "--archive", str(evil),
+                          "--dest", str(tmp_path / "evil_root")])
+
+    def test_ingest_no_layout_found(self, tmp_path):
+        arc_dir = tmp_path / "junk"
+        arc_dir.mkdir()
+        (arc_dir / "readme.txt").write_text("hi")
+        with pytest.raises(FileNotFoundError, match="layout root"):
+            self._ingest(["ingest", "--archive", str(arc_dir),
+                          "--dest", str(tmp_path / "out")])
+
+
 class TestAugmentation:
     def test_rotation_preserves_norms(self):
         rng = np.random.default_rng(0)
