@@ -30,11 +30,22 @@ path so the artifact is plain StableHLO and runs anywhere; a
 ``tpu``-only export keeps the fast kernel.  Both are numerically
 cross-checked in tests/test_export.py.
 
-``export_run(..., poly_batch=True)`` exports with a symbolic batch
-dimension instead (manifest shapes carry ``None``): one artifact, any
-batch size, at the cost of a compile per dispatched batch size at load
-time (``ServingEngine`` pads requests to power-of-2 buckets to bound
-that) and the portable pooling path.
+``export_run(..., poly_batch=True)`` exports an any-batch-size artifact
+(manifest shapes carry ``None``).  Two strategies, picked by platform:
+
+- **bucketed** (default when ``cpu`` is NOT in the platform list): one
+  fixed-shape blob per power-of-2 batch bucket up to the compiled batch
+  (``model_b1.stablehlo`` .. ``model_b{B}.stablehlo``).  Static shapes
+  keep the fast Pallas pooling kernel in every bucket; a request pads
+  to the smallest covering bucket and chunks above the largest.  Cost:
+  the parameters are embedded once per bucket, so the artifact is
+  ~len(buckets)× the single-blob size.
+- **symbolic** (when ``cpu`` is in the platform list, i.e. portable
+  artifacts): one blob with a symbolic batch dimension.  Smallest
+  artifact, runs anywhere, but shape polymorphism rules out the Pallas
+  kernel (scatter pooling) and each dispatched batch size compiles at
+  load time (``ServingEngine`` pads to power-of-2 buckets to bound
+  that).
 """
 
 from __future__ import annotations
@@ -52,6 +63,21 @@ from .config import Config, load_config
 
 ARTIFACT_BLOB = "model.stablehlo"
 ARTIFACT_MANIFEST = "manifest.json"
+
+
+def batch_buckets(max_batch: int) -> list:
+    """Power-of-2 batch buckets covering ``1..max_batch`` (ascending,
+    always ends exactly at ``max_batch``): 8 -> [1, 2, 4, 8];
+    6 -> [1, 2, 4, 6]."""
+    if max_batch < 1:
+        raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+    out = []
+    b = 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
 
 
 def _spatial_dim(cfg: Config) -> int:
@@ -142,20 +168,22 @@ def export_run(run_dir: str, out_dir: Optional[str] = None,
                batch_size: Optional[int] = None,
                checkpoint: Optional[str] = None,
                platforms: Optional[list[str]] = None,
-               poly_batch: bool = False) -> dict:
+               poly_batch: bool = False,
+               bucketed: Optional[bool] = None) -> dict:
     """Export a finished run as a serving artifact; returns the manifest.
 
     ``platforms`` defaults to the current backend.  Any list containing
     ``cpu`` forces the portable pure-XLA pooling path (see module doc).
 
-    ``poly_batch=True`` exports with a *symbolic* batch dimension
-    (``jax.export`` shape polymorphism): one artifact serves any batch
-    size, recorded as ``None`` in the manifest's input shapes.  Each
-    distinct batch size still compiles on first call at load time, so
-    fixed-batch artifacts (+ ``ServingEngine`` chunk/pad) remain the
-    recommendation for latency-sensitive serving; poly artifacts also
-    force the portable scatter pooling path (the Pallas kernel needs
-    static shapes).
+    ``poly_batch=True`` exports an any-batch-size artifact, recorded as
+    ``None`` in the manifest's input shapes.  On non-cpu platform lists
+    it emits per-bucket fixed-shape blobs that keep the fast Pallas
+    pooling kernel (see module doc, "bucketed"); with ``cpu`` in the
+    list it falls back to one symbolic-batch blob on the portable
+    scatter path (shape polymorphism rules out the Pallas kernel).
+    ``bucketed`` overrides that platform-keyed default — e.g.
+    ``bucketed=True`` with cpu platforms still emits per-bucket blobs
+    (portable pooling, but fixed shapes: no load-time recompiles).
     """
     import jax
     from jax import export as jexport
@@ -163,28 +191,55 @@ def export_run(run_dir: str, out_dir: Optional[str] = None,
     from .nn.encoder import resolve_pooling
 
     platforms = [p.lower() for p in (platforms or [jax.default_backend()])]
-    portable = "cpu" in platforms or poly_batch
+    if bucketed is None:
+        bucketed = poly_batch and "cpu" not in platforms
+    bucketed = bucketed and poly_batch  # meaningless without poly_batch
+    portable = "cpu" in platforms or (poly_batch and not bucketed)
     cfg, model, state, ckpt = _restore_run(
         run_dir, batch_size, checkpoint,
         pooling=("scatter" if portable else None))
     sig = input_signature(cfg, cfg.batch_size)
 
     serve = build_serve_fn(model, cfg, state.params, state.batch_stats)
-    if poly_batch:
-        b, = jexport.symbolic_shape("b")
-        specs = [jax.ShapeDtypeStruct((b,) + tuple(s[1:]), d)
-                 for _, s, d in sig]
-        manifest_shapes = [[None] + list(s[1:]) for _, s, _ in sig]
-    else:
-        specs = [jax.ShapeDtypeStruct(s, d) for _, s, d in sig]
-        manifest_shapes = [list(s) for _, s, _ in sig]
-    exported = jexport.export(jax.jit(serve), platforms=platforms)(*specs)
-    blob = bytes(exported.serialize())
-
     out_dir = out_dir or os.path.join(run_dir, "export")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, ARTIFACT_BLOB), "wb") as f:
-        f.write(blob)
+
+    buckets = None
+    blobs = None
+    if poly_batch and bucketed:
+        # one fixed-shape export per power-of-2 batch bucket: static
+        # shapes keep the fast pooling kernel in every bucket
+        buckets = batch_buckets(cfg.batch_size)
+        blobs = {}
+        total = 0
+        for b in buckets:
+            specs = [jax.ShapeDtypeStruct((b,) + tuple(s[1:]), d)
+                     for _, s, d in sig]
+            exported = jexport.export(jax.jit(serve),
+                                      platforms=platforms)(*specs)
+            blob = bytes(exported.serialize())
+            fname = f"model_b{b}.stablehlo"
+            with open(os.path.join(out_dir, fname), "wb") as f:
+                f.write(blob)
+            blobs[str(b)] = fname
+            total += len(blob)
+        manifest_shapes = [[None] + list(s[1:]) for _, s, _ in sig]
+        blob_bytes = total
+    else:
+        if poly_batch:
+            b, = jexport.symbolic_shape("b")
+            specs = [jax.ShapeDtypeStruct((b,) + tuple(s[1:]), d)
+                     for _, s, d in sig]
+            manifest_shapes = [[None] + list(s[1:]) for _, s, _ in sig]
+        else:
+            specs = [jax.ShapeDtypeStruct(s, d) for _, s, d in sig]
+            manifest_shapes = [list(s) for _, s, _ in sig]
+        exported = jexport.export(jax.jit(serve), platforms=platforms)(*specs)
+        blob = bytes(exported.serialize())
+        with open(os.path.join(out_dir, ARTIFACT_BLOB), "wb") as f:
+            f.write(blob)
+        blob_bytes = len(blob)
+
     manifest = {
         "task": cfg.task,
         "inputs": [{"name": n, "shape": ms, "dtype": d}
@@ -196,8 +251,11 @@ def export_run(run_dir: str, out_dir: Optional[str] = None,
         "classes": cfg.classes,
         "checkpoint": ckpt,
         "jax_version": jax.__version__,
-        "blob_bytes": len(blob),
+        "blob_bytes": blob_bytes,
     }
+    if buckets is not None:
+        manifest["buckets"] = buckets
+        manifest["blobs"] = blobs
     with open(os.path.join(out_dir, ARTIFACT_MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
@@ -212,10 +270,38 @@ def load_exported(artifact_dir: str):
     """
     from jax import export as jexport
 
+    def _read(fname):
+        with open(os.path.join(artifact_dir, fname), "rb") as f:
+            return jexport.deserialize(bytearray(f.read()))
+
     with open(os.path.join(artifact_dir, ARTIFACT_MANIFEST)) as f:
         manifest = json.load(f)
-    with open(os.path.join(artifact_dir, ARTIFACT_BLOB), "rb") as f:
-        exported = jexport.deserialize(bytearray(f.read()))
+    if manifest.get("buckets"):
+        # bucketed poly artifact: pick the smallest covering bucket per
+        # chunk, pad (replicating the last row — per-item outputs are
+        # batch-independent in eval mode), chunk above the largest
+        progs = {int(b): _read(f) for b, f in manifest["blobs"].items()}
+        b_max = max(progs)
+
+        def _call(cast):
+            B_req = cast[0].shape[0]
+            outs = []
+            for s in range(0, B_req, b_max):
+                chunk = [a[s:s + b_max] for a in cast]
+                n = chunk[0].shape[0]
+                b = min(x for x in progs if x >= n)
+                if b != n:
+                    chunk = [np.concatenate(
+                        [a, np.repeat(a[-1:], b - n, axis=0)])
+                        for a in chunk]
+                outs.append(np.asarray(progs[b].call(*chunk))[:n])
+            return outs[0] if len(outs) == 1 else np.concatenate(outs,
+                                                                 axis=0)
+    else:
+        exported = _read(ARTIFACT_BLOB)
+
+        def _call(cast):
+            return exported.call(*cast)
 
     def fn(*arrays):
         expect = manifest["inputs"]
@@ -241,7 +327,7 @@ def load_exported(artifact_dir: str):
                 # shape-constraint error naming 'b'
                 raise ValueError("empty request batch (B=0); poly_batch "
                                  "artifacts require B >= 1")
-        return exported.call(*cast)
+        return _call(cast)
 
     return fn, manifest
 
@@ -396,17 +482,20 @@ class ServingEngine:
         outs = []
         with self._lock:
             if B is None:
-                # poly_batch artifact: one dispatch, any B' — but each
-                # distinct dispatched size compiles once, so pad B' up to
-                # a power-of-2 bucket (padding replicates the last item,
-                # sliced off below).  Bounds compiles at log2(max B')
-                # instead of one per distinct request size; warmup covers
-                # bucket 1 only, other buckets compile on first use.
-                Bp = 1 << max(B_req - 1, 0).bit_length()
-                if Bp != B_req:
-                    arrays = [np.concatenate(
-                        [a, np.repeat(a[-1:], Bp - B_req, axis=0)])
-                        for a in arrays]
+                # poly_batch artifact: one dispatch, any B'.  A BUCKETED
+                # artifact pads/chunks to its own blob set inside fn; a
+                # symbolic one compiles per distinct dispatched size, so
+                # pad B' up to a power-of-2 bucket here (padding
+                # replicates the last item, sliced off below) — bounds
+                # compiles at log2(max B') instead of one per distinct
+                # request size; warmup covers bucket 1 only, other
+                # buckets compile on first use.
+                if not self.manifest.get("buckets"):
+                    Bp = 1 << max(B_req - 1, 0).bit_length()
+                    if Bp != B_req:
+                        arrays = [np.concatenate(
+                            [a, np.repeat(a[-1:], Bp - B_req, axis=0)])
+                            for a in arrays]
                 self.dispatches += 1
                 return np.asarray(self._fn(*arrays))[:B_req]
             for s in range(0, B_req, B):
@@ -516,9 +605,13 @@ class _MicroBatcher:
                 return
             group = [first]
             total = first[1]
-            # a poly engine has no fixed batch; fill toward 8 (the
-            # measured throughput optimum, docs/SERVING.md)
-            B = self._engine.batch_size or 8
+            # a poly engine has no fixed batch; fill toward its largest
+            # bucket, or 8 for a symbolic artifact (the measured
+            # throughput optimum, docs/SERVING.md)
+            B = self._engine.batch_size
+            if B is None:
+                bks = self._engine.manifest.get("buckets")
+                B = bks[-1] if bks else 8
             deadline = time.perf_counter() + self._window_s
             while total < B:
                 left = deadline - time.perf_counter()

@@ -34,9 +34,16 @@ def main(argv=None):
                     help="comma list, e.g. 'tpu' or 'cpu,tpu' "
                          "(default: current backend)")
     ap.add_argument("--poly_batch", action="store_true",
-                    help="symbolic batch dimension: one artifact serves any "
-                         "batch size (forces the portable scatter pooling "
-                         "path; each new batch size compiles at load time)")
+                    help="any-batch-size artifact. On non-cpu platform "
+                         "lists: per-bucket fixed-shape blobs that keep the "
+                         "fast Pallas pooling kernel; with cpu: one "
+                         "symbolic-batch blob on the portable scatter path "
+                         "(each new batch size compiles at load time)")
+    ap.add_argument("--buckets", dest="bucketed", default=None,
+                    action="store_true",
+                    help="with --poly_batch: force per-bucket blobs even "
+                         "for cpu platform lists (fixed shapes, no "
+                         "load-time recompiles; pooling still portable)")
     ap.add_argument("--check", action="store_true",
                     help="reload the artifact and run it on zeros")
     args = ap.parse_args(argv)
@@ -47,7 +54,7 @@ def main(argv=None):
     manifest = export_run(args.run, out_dir=args.out,
                           batch_size=args.batch_size,
                           checkpoint=args.checkpoint, platforms=platforms,
-                          poly_batch=args.poly_batch)
+                          poly_batch=args.poly_batch, bucketed=args.bucketed)
     out = args.out or os.path.join(args.run, "export")
     if args.check:
         import numpy as np

@@ -134,6 +134,58 @@ class TestExportRoundtrip:
         np.testing.assert_allclose(got, want[:3], rtol=1e-5, atol=1e-5)
         assert eng.stats()["items"] == 3  # counts real rows, not padding
 
+    def test_bucketed_poly_export(self, tmp_path):
+        """Per-bucket fixed-shape blobs: any batch size WITHOUT symbolic
+        shapes — the strategy that keeps the fast Pallas pooling kernel
+        on TPU-only platform lists (exercised here with bucketed=True on
+        cpu; the bucket machinery is platform-independent).  Cross-checks
+        every bucket against the portable direct forward."""
+        from sonet_tpu.serving import ServingEngine, batch_buckets
+
+        assert batch_buckets(8) == [1, 2, 4, 8]
+        assert batch_buckets(6) == [1, 2, 4, 6]
+        assert batch_buckets(1) == [1]
+        with pytest.raises(ValueError):
+            batch_buckets(0)
+
+        run = _train_tiny(tmp_path, name="exp_buck")
+        manifest = export_run(run, platforms=["cpu"], poly_batch=True,
+                              bucketed=True)
+        cfg = load_config(os.path.join(run, "config.json"))
+        want_buckets = batch_buckets(cfg.batch_size)
+        assert manifest["buckets"] == want_buckets
+        assert manifest["inputs"][0]["shape"][0] is None
+        art = os.path.join(run, "export")
+        for b, fname in manifest["blobs"].items():
+            assert fname == f"model_b{b}.stablehlo"
+            assert os.path.exists(os.path.join(art, fname))
+        # no single-blob file in a bucketed artifact
+        assert not os.path.exists(os.path.join(art, "model.stablehlo"))
+
+        fn, m = load_exported(art)
+        full = _random_inputs(cfg)
+        want = _direct_serve(run, full)
+        B_max = cfg.batch_size
+        # exact bucket, padded-to-bucket, and chunked-above-largest sizes
+        for B in (1, 3, B_max):
+            got = np.asarray(fn(*(a[:B] for a in full)))
+            np.testing.assert_allclose(got, want[:B], rtol=1e-5, atol=1e-5)
+        big = tuple(np.concatenate([a, a[:3]]) for a in full)
+        want_big = np.concatenate([want, want[:3]])
+        got_big = np.asarray(fn(*big))
+        np.testing.assert_allclose(got_big, want_big, rtol=1e-5, atol=1e-5)
+        with pytest.raises(ValueError, match="empty request batch"):
+            fn(*(a[:0] for a in full))
+
+        # ServingEngine treats it as any-size and does NOT re-pad (fn
+        # buckets internally)
+        eng = ServingEngine.from_artifact(art)
+        assert eng.batch_size is None
+        got = eng.predict({"pc": full[0][:3], "sn": full[1][:3],
+                           "node": full[2][:3]})
+        np.testing.assert_allclose(got, want[:3], rtol=1e-5, atol=1e-5)
+        assert eng.stats()["items"] == 3
+
     def test_export_cli(self, tmp_path):
         run = _train_tiny(tmp_path, name="exp_cli")
         from sonet_tpu.tasks import export as mod
