@@ -98,6 +98,11 @@ class Config:
     remat: bool = False  # rematerialize the per-point stacks (memory vs FLOPs)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, points) mesh
     mesh_axes: Tuple[str, ...] = ("data", "points")
+    # multi-process (multi-host pod) runtime: "" = off, "auto" =
+    # jax.distributed.initialize() with TPU-metadata discovery,
+    # "HOST:PORT,NPROC,PID" = explicit rendezvous
+    # (parallel/distributed.py; the reference is single-process only)
+    distributed: str = ""
     checkpoint_every: int = 0  # steps; 0 = per-epoch gated like the reference
     seed: int = 0
 

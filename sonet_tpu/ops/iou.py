@@ -27,11 +27,13 @@ MAX_PARTS = max(len(p) for p in PART_LABEL)  # 6
 NUM_CATEGORIES = len(PART_LABEL)  # 16
 NUM_PARTS = 50
 
-_table = np.full((NUM_CATEGORIES, MAX_PARTS), -1, np.int32)
+# host-side (numpy) constants: creating device arrays at IMPORT time
+# would initialize the jax backend before jax.distributed.initialize
+# can run (parallel/distributed.py) — jnp converts them on first trace
+PART_TABLE = np.full((NUM_CATEGORIES, MAX_PARTS), -1, np.int32)
 for ci, parts in enumerate(PART_LABEL):
-    _table[ci, : len(parts)] = parts
-PART_TABLE = jnp.asarray(_table)             # (16, 6), -1 padded
-PART_VALID = jnp.asarray(_table >= 0)        # (16, 6) bool
+    PART_TABLE[ci, : len(parts)] = parts
+PART_VALID = PART_TABLE >= 0                 # (16, 6) bool
 
 
 def iou_per_shape(seg_pred: jax.Array, seg_gt: jax.Array,
@@ -41,8 +43,8 @@ def iou_per_shape(seg_pred: jax.Array, seg_gt: jax.Array,
     seg_pred, seg_gt: (B, N) int part labels; label: (B,) int category.
     Returns (B,) mean IoU over the category's parts.
     """
-    parts = PART_TABLE[label]    # (B, MAX_PARTS)
-    valid = PART_VALID[label]    # (B, MAX_PARTS)
+    parts = jnp.asarray(PART_TABLE)[label]    # (B, MAX_PARTS)
+    valid = jnp.asarray(PART_VALID)[label]    # (B, MAX_PARTS)
 
     gt = seg_gt[:, None, :] == parts[:, :, None]      # (B, MP, N)
     pr = seg_pred[:, None, :] == parts[:, :, None]    # (B, MP, N)

@@ -131,8 +131,17 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (model/optimizer state) over the mesh."""
+    """Fully replicate a pytree (model/optimizer state) over the mesh.
+
+    Multi-process: cross-process ``device_put`` is only defined for
+    host-side values that are identical on every process, so leaves are
+    first materialized to numpy (``fetch_global`` all-gathers any leaf a
+    process can't read locally). One-time startup cost; identical values
+    are guaranteed by the deterministic seeded init."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        from .distributed import fetch_global
+        tree = fetch_global(tree)
     return jax.device_put(tree, sharding)
 
 

@@ -34,7 +34,12 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
                "step": np.asarray(state.step)}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    _gc(ckpt_dir, keep)
+    # multi-process (--distributed): orbax coordinates the collective
+    # save itself (all processes call save; process 0 finalizes), but GC
+    # must run once — concurrent rmtree of the same dirs on a shared
+    # checkpoint filesystem races
+    if jax.process_index() == 0:
+        _gc(ckpt_dir, keep)
     return path
 
 

@@ -26,6 +26,7 @@ import numpy as np
 from ..config import Config
 from ..models import build_model
 from ..parallel import make_mesh, shard_batch, replicate
+from ..parallel.distributed import fetch_global
 from ..utils import MetricLogger
 from . import checkpoints
 from .loops import make_steps
@@ -90,7 +91,28 @@ class Trainer:
         import math
 
         from ..data.pipeline import BatchLoader
+        from ..parallel.distributed import is_main, maybe_init_distributed
 
+        # multi-host pods: bring up jax.distributed BEFORE the first
+        # device query (parallel/distributed.py; no reference analogue —
+        # the reference is single-process single-GPU).  The trainer then
+        # runs the same SPMD program on every process; only the console,
+        # metric files and checkpoint GC are process-0-owned.
+        self.multiprocess = maybe_init_distributed(cfg.distributed)
+        self.is_main = (not self.multiprocess) or is_main()
+        if self.multiprocess:
+            if math.prod(cfg.mesh_shape) <= 1:
+                # no explicit mesh: default to pure data-parallel over
+                # every chip in the pod
+                cfg = cfg.replace(mesh_shape=(jax.device_count(), 1))
+            if math.prod(cfg.mesh_shape) != jax.device_count():
+                # a partial mesh would leave some process's chips out of
+                # the collectives -> deadlock; demand full coverage
+                raise ValueError(
+                    f"--distributed needs the mesh to cover every device "
+                    f"in the pod: mesh_shape {tuple(cfg.mesh_shape)} covers "
+                    f"{math.prod(cfg.mesh_shape)} of {jax.device_count()} "
+                    f"global devices")
         # --mesh_shape from the CLI/config builds the mesh right here
         # (reference: none — single GPU only, SURVEY.md §2.3); an
         # explicitly passed mesh takes precedence.
@@ -111,8 +133,12 @@ class Trainer:
         self.mesh = mesh
         self.out_dir = out_dir or os.path.join(cfg.checkpoints_dir, cfg.name)
         os.makedirs(self.out_dir, exist_ok=True)
-        cfg.save(os.path.join(self.out_dir, "config.json"))  # opt.txt parity
-        self.logger = MetricLogger(self.out_dir, quiet=quiet)
+        if self.is_main:
+            cfg.save(os.path.join(self.out_dir, "config.json"))  # opt.txt
+        # non-main processes: no metric files (they would collide on a
+        # shared checkpoint filesystem), no console chatter
+        self.logger = MetricLogger(self.out_dir if self.is_main else None,
+                                   quiet=quiet or not self.is_main)
         self.log_every = log_every
 
         self.train_set = build_dataset(cfg, "train")
@@ -139,7 +165,9 @@ class Trainer:
             os.path.join(self.out_dir, "ckpt"))
         if resume and latest:
             self.state = checkpoints.restore_checkpoint(latest, self.state)
-            print(f"resumed from {latest} at step {int(self.state.step)}")
+            if self.is_main:
+                print(f"resumed from {latest} at step "
+                      f"{int(self.state.step)}")
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
         self.train_step, self.eval_step = make_steps(self.model, cfg,
@@ -166,12 +194,13 @@ class Trainer:
                 if budget > 0 and nbytes > budget:
                     cd = ChunkedDeviceData(host, budget, cfg.batch_size,
                                            mesh=self.mesh, seed=cfg.seed)
-                    print(f"device pipeline [{what}]: split "
-                          f"{nbytes / 1e9:.2f} GB exceeds "
-                          f"--device_budget_gb {cfg.device_budget_gb:g} "
-                          f"— streaming {cd.num_chunks} chunks of "
-                          f"{cd.chunk_items} items (double-buffered)",
-                          flush=True)
+                    if self.is_main:
+                        print(f"device pipeline [{what}]: split "
+                              f"{nbytes / 1e9:.2f} GB exceeds "
+                              f"--device_budget_gb {cfg.device_budget_gb:g} "
+                              f"— streaming {cd.num_chunks} chunks of "
+                              f"{cd.chunk_items} items (double-buffered)",
+                              flush=True)
                     return cd
                 return device_data_from_host(host, mesh=self.mesh)
 
@@ -260,7 +289,7 @@ class Trainer:
                     True, epoch, self.cfg.batch_size, drop_last=True):
                 self.state, ms = self.train_epoch_dev(
                     self.state, dd, table, self.rng)
-                parts.append({k: np.asarray(v) for k, v in ms.items()})
+                parts.append(fetch_global(ms))
                 steps += len(table)
             if parts:
                 ms = {k: np.concatenate([p[k] for p in parts])
@@ -276,7 +305,7 @@ class Trainer:
             if epoch_idx is not None:
                 self.state, ms = self.train_epoch_dev(
                     self.state, self.device_train, epoch_idx, self.rng)
-                ms = {k: np.asarray(v) for k, v in ms.items()}  # one sync
+                ms = fetch_global(ms)  # one sync (all-gather if multihost)
                 steps = len(epoch_idx)
                 for i in range(0, steps, self.log_every):
                     self.logger.log(int(self.state.step) - steps + i + 1,
@@ -293,7 +322,7 @@ class Trainer:
                     self.logger.log(int(self.state.step),
                                     {k: float(v) for k, v in metrics.items()},
                                     epoch=epoch, prefix="train_")
-                if self._stop_requested:  # per-step granularity on the
+                if self._should_stop():  # per-step granularity on the
                     break                 # host pipeline; device epochs
                                           # stop at the epoch boundary
         if metrics is None:  # dataset smaller than one batch
@@ -313,7 +342,7 @@ class Trainer:
                 ms = self.eval_epoch_dev(self.state, dd, table,
                                          jnp.asarray(i0, jnp.int32))
                 i0 += len(table)
-                ms = {k: np.asarray(v) for k, v in ms.items()}
+                ms = fetch_global(ms)
                 for i, valid in enumerate(valids):
                     yield None, {k: v[i] for k, v in ms.items()}, valid
         elif self.device_eval is not None:
@@ -323,7 +352,7 @@ class Trainer:
                 return
             ms = self.eval_epoch_dev(self.state, self.device_eval,
                                      epoch_idx, jnp.asarray(0, jnp.int32))
-            ms = {k: np.asarray(v) for k, v in ms.items()}  # one sync
+            ms = fetch_global(ms)  # one sync (all-gather if multihost)
             for i, valid in enumerate(valids):
                 yield None, {k: v[i] for k, v in ms.items()}, valid
         else:
@@ -336,13 +365,20 @@ class Trainer:
         count = 0
         first = True
         for db, m, valid in self._eval_batches():
-            if visualize and first and db is not None:
+            # visuals index into per-batch arrays, which are global-
+            # sharded under --distributed; skip them there (the metric
+            # files and dashboard remain the multi-host observability)
+            if (visualize and first and db is not None
+                    and not self.multiprocess):
                 self._save_visuals(db, m)
                 first = False
             count += valid
             for k in list(m.keys()):
                 if k.endswith("_i"):
-                    arr = np.asarray(m[k])[:valid]
+                    # selective fetch: only the per-item metric columns
+                    # come host-side (all-gathered under --distributed);
+                    # visual payloads (score/predicted_pc) stay on device
+                    arr = np.asarray(fetch_global(m[k]))[:valid]
                     name = {"loss_i": "loss", "correct_i": "accuracy",
                             "iou_i": "iou"}.get(k, k[:-2])
                     if self.cfg.task == "segment" and k == "correct_i":
@@ -394,6 +430,19 @@ class Trainer:
                 os.path.join(self.out_dir, "ckpt"), self.state,
                 int(self.state.step))
         return None
+
+    def _should_stop(self) -> bool:
+        """Stop decision, made COLLECTIVELY under --distributed: an
+        orchestrator may deliver SIGTERM to one process only; if that
+        process broke out of the epoch loop alone the rest would hang in
+        the next collective.  Any process's stop request stops all.
+        Called at aligned points (same count on every process)."""
+        if not self.multiprocess:
+            return self._stop_requested
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray(self._stop_requested))
+        return bool(np.any(flags))
 
     def request_stop(self) -> None:
         """Ask fit() to stop at the next epoch boundary: it checkpoints
@@ -453,7 +502,7 @@ class Trainer:
                             saved = checkpoints.save_checkpoint(
                                 os.path.join(self.out_dir, "ckpt"),
                                 self.state, int(self.state.step))
-                if self._stop_requested:
+                if self._should_stop():
                     if saved is None:  # ungated: resume must not regress
                         checkpoints.save_checkpoint(
                             os.path.join(self.out_dir, "ckpt"), self.state,

@@ -1,0 +1,157 @@
+"""Multi-process (multi-host analogue) tests — parallel/distributed.py.
+
+The reference is single-process single-GPU (modelnet/options.py:13);
+sonet_tpu targets TPU pods where each host runs the same SPMD program
+over a global mesh. Real multi-host needs N machines; here N OS
+processes with one CPU device each rendezvous over localhost (the same
+jax.distributed runtime and Gloo collectives a CPU cluster would use),
+and the result is cross-checked against an in-process run on a
+same-shape virtual mesh — process topology must not change training.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sonet_tpu.parallel import parse_distributed_spec
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestSpecParsing:
+    def test_off_and_auto(self):
+        assert parse_distributed_spec("") is None
+        assert parse_distributed_spec(None) is None
+        assert parse_distributed_spec("auto") == {}
+        assert parse_distributed_spec(" AUTO ") == {}
+
+    def test_explicit(self):
+        assert parse_distributed_spec("10.0.0.1:29500,4,2") == {
+            "coordinator_address": "10.0.0.1:29500",
+            "num_processes": 4, "process_id": 2}
+
+    def test_junk_rejected(self):
+        for bad in ("localhost", "h:1,2", "h:1,2,3,4", "h:1,a,0",
+                    "h:1,2,2", "h:1,0,0", "h:1,2,-1"):
+            with pytest.raises(ValueError):
+                parse_distributed_spec(bad)
+
+
+class TestFetchGlobal:
+    def test_single_process_passthrough(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sonet_tpu.parallel import fetch_global, make_mesh
+
+        mesh = make_mesh((4, 2))
+        x = jax.device_put(np.arange(8.0).reshape(8, 1),
+                           NamedSharding(mesh, P("data")))
+        tree = {"a": x, "b": jnp.float32(3.0), "c": "keep"}
+        out = fetch_global(tree)
+        assert isinstance(out["a"], np.ndarray)
+        np.testing.assert_array_equal(out["a"],
+                                      np.arange(8.0).reshape(8, 1))
+        assert float(out["b"]) == 3.0 and out["c"] == "keep"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+class TestMultiProcessTraining:
+    """2 OS processes x 1 CPU device each == the pod host program."""
+
+    def test_two_process_train_matches_in_process_mesh(self, tmp_path):
+        port = _free_port()
+        outdir = str(tmp_path)
+        env = dict(os.environ)
+        # one CPU device per process (strip the conftest's 8-device
+        # virtualization); dist_worker re-forces the cpu platform itself
+        env["XLA_FLAGS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        worker = os.path.join(REPO, "tests", "dist_worker.py")
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), outdir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for pid in range(2)]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=900)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.fail("distributed workers hung:\n"
+                        + "\n---\n".join(o or "" for o in outs))
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out}"
+
+        results = []
+        for pid in range(2):
+            with open(os.path.join(outdir, f"result_{pid}.json")) as f:
+                results.append(json.load(f))
+        r0, r1 = results
+        assert r0["device_count"] == r1["device_count"] == 2
+        assert r0["mesh_shape"] == [2, 1]
+        assert r0["step"] == r1["step"] > 0
+        # replicated state + deterministic host pipeline => every process
+        # reports the SAME metrics
+        for k, v in r0["final"].items():
+            assert np.isfinite(v)
+            assert abs(v - r1["final"][k]) < 1e-6, (k, v, r1["final"][k])
+
+        # only process 0 writes metric files; checkpoints are collective
+        run_dir = os.path.join(outdir, "dist")
+        assert os.path.exists(os.path.join(run_dir, "train_metrics.jsonl"))
+        ckpts = [d for d in os.listdir(os.path.join(run_dir, "ckpt"))
+                 if d.startswith("step_") and "tmp" not in d]
+        assert ckpts, "collective checkpoint save did not land"
+
+        # process topology must not change training SEMANTICS: the same
+        # config on an IN-process (2,1) virtual mesh must produce the
+        # same early loss trajectory. Exact long-run equality is NOT
+        # expected — Gloo cross-process reductions sum in a different
+        # order than in-process collectives, and float-eps differences
+        # amplify chaotically through dropout+BN training — so the
+        # assertion tightens where it is meaningful: the first steps.
+        from sonet_tpu import config as cfg_mod
+        from sonet_tpu.train.trainer import Trainer
+
+        cfg = cfg_mod.tiny_test().replace(
+            input_pipeline="device", epochs=2, seed=7,
+            mesh_shape=(2, 1), checkpoints_dir=str(tmp_path / "inproc"),
+            name="dist")
+        trainer = Trainer(cfg, quiet=True, log_every=1)
+        final = trainer.fit()
+        assert int(trainer.state.step) == r0["step"]
+        assert np.isfinite(final["loss"]) and final["accuracy"] >= 0.5
+
+        def loss_series(run_dir):
+            rows = [json.loads(line) for line in
+                    open(os.path.join(run_dir, "train_metrics.jsonl"))]
+            return [r["train_loss"] for r in rows if "train_loss" in r]
+
+        dist_losses = loss_series(run_dir)
+        local_losses = loss_series(os.path.join(str(tmp_path), "inproc",
+                                                "dist"))
+        assert len(dist_losses) == len(local_losses) == r0["step"]
+        # step 1: identical math up to one cross-process reduction
+        # (measured ~1e-6 rel; the eps then amplifies ~30x per step —
+        # step 2 ~2e-5, step 3 ~2e-3 — so only the first two steps are
+        # a meaningful semantic check, the rest a coarse sanity band)
+        np.testing.assert_allclose(dist_losses[:2], local_losses[:2],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(dist_losses[:6], local_losses[:6],
+                                   rtol=0.15, atol=0.05)
