@@ -206,6 +206,23 @@ class ChunkedDeviceData:
         chunks = [order[i:i + self.chunk_items]
                   for i in range(0, len(order), self.chunk_items)]
 
+        if jax.process_count() > 1:
+            # --distributed: a device_put onto a cross-process sharding
+            # COORDINATES across processes, i.e. it is itself a
+            # collective and must be issued in the same order as every
+            # other collective on every process.  A background-thread
+            # put interleaving with the main thread's collectives aborts
+            # the runtime (probed: Gloo 'received data size doesn't
+            # match expected size').  Stage on the MAIN thread instead,
+            # one chunk ahead — device_put is async, so the transfer of
+            # chunk k+1 still overlaps the scan over chunk k.
+            nxt = self._stage(chunks[0], batch_size)
+            for i in range(len(chunks)):
+                cur, nxt = nxt, (self._stage(chunks[i + 1], batch_size)
+                                 if i + 1 < len(chunks) else None)
+                yield cur
+            return
+
         q: "_queue.Queue" = _queue.Queue(maxsize=1)
 
         def produce():

@@ -6,17 +6,29 @@ with ONE CPU device, rendezvousing through --distributed
 --distributed auto. Writes its final metrics as JSON for the parent
 test to cross-check against the in-process single-process mesh run.
 
-Usage: python tests/dist_worker.py PID NPROC PORT OUTDIR
+Modes (argv[5], default "plain"):
+
+* ``plain``   — 2 epochs through the resident device pipeline.
+* ``preempt`` — 4 epochs with a tiny ``--device_budget_gb`` (forces the
+  CHUNKED streaming pipeline under multi-process) and a SIGTERM
+  delivered to process 1 ONLY after epoch 1: the collective stop
+  decision (trainer._should_stop all-gather) must stop EVERY process at
+  that epoch boundary with a checkpoint — a lone early exit would
+  deadlock the others in the next collective.
+
+Usage: python tests/dist_worker.py PID NPROC PORT OUTDIR [MODE]
 """
 
 import json
 import os
+import signal
 import sys
 
 
 def main():
     pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                                 int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "plain"
     import jax
 
     # mirror tests/conftest.py: the axon TPU plugin force-registers at
@@ -37,7 +49,27 @@ def main():
         name="dist",
         seed=7,
     )
-    trainer = Trainer(cfg, quiet=True, log_every=1)  # per-step loss rows
+    if mode == "preempt":
+        # ~50 KB budget on a ~110 KB split -> several 4-item chunks:
+        # the double-buffered chunked pipeline, cross-process
+        cfg = cfg_mod.tiny_test().replace(
+            distributed=f"127.0.0.1:{port},{nproc},{pid}",
+            input_pipeline="device", epochs=4, device_budget_gb=5e-5,
+            checkpoints_dir=outdir, name="preempt", seed=7)
+
+    class PreemptTrainer(Trainer):
+        """SIGTERM lands on process 1 ONLY, after train epoch 1 — the
+        real signal handler sets the local stop flag; the collective
+        all-gather must propagate it to every process."""
+
+        def train_epoch(self, epoch):
+            out = super().train_epoch(epoch)
+            if epoch == 1 and jax.process_index() == 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return out
+
+    cls = PreemptTrainer if mode == "preempt" else Trainer
+    trainer = cls(cfg, quiet=True, log_every=1)  # per-step loss rows
     assert trainer.multiprocess, "distributed runtime did not come up"
     assert jax.device_count() == nproc, jax.device_count()
     final = trainer.fit()

@@ -67,6 +67,36 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _launch_workers(nproc, port, outdir, mode="plain", timeout=900):
+    """Spawn N dist_worker processes, wait, return their stdouts
+    (asserting rc==0 for each)."""
+    env = dict(os.environ)
+    # one CPU device per process (strip the conftest's 8-device
+    # virtualization); dist_worker re-forces the cpu platform itself
+    env["XLA_FLAGS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "dist_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(nproc), str(port), outdir,
+         mode],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(nproc)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers hung:\n"
+                    + "\n---\n".join(o or "" for o in outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    return outs
+
+
 @pytest.mark.slow
 class TestMultiProcessTraining:
     """2 OS processes x 1 CPU device each == the pod host program."""
@@ -74,29 +104,7 @@ class TestMultiProcessTraining:
     def test_two_process_train_matches_in_process_mesh(self, tmp_path):
         port = _free_port()
         outdir = str(tmp_path)
-        env = dict(os.environ)
-        # one CPU device per process (strip the conftest's 8-device
-        # virtualization); dist_worker re-forces the cpu platform itself
-        env["XLA_FLAGS"] = ""
-        env["JAX_PLATFORMS"] = "cpu"
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        worker = os.path.join(REPO, "tests", "dist_worker.py")
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), outdir],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True) for pid in range(2)]
-        outs = []
-        try:
-            for p in procs:
-                out, _ = p.communicate(timeout=900)
-                outs.append(out)
-        except subprocess.TimeoutExpired:
-            for p in procs:
-                p.kill()
-            pytest.fail("distributed workers hung:\n"
-                        + "\n---\n".join(o or "" for o in outs))
-        for p, out in zip(procs, outs):
-            assert p.returncode == 0, f"worker failed:\n{out}"
+        _launch_workers(2, port, outdir)
 
         results = []
         for pid in range(2):
@@ -155,3 +163,54 @@ class TestMultiProcessTraining:
                                    rtol=1e-4)
         np.testing.assert_allclose(dist_losses[:6], local_losses[:6],
                                    rtol=0.15, atol=0.05)
+
+    def test_preemption_of_one_process_stops_all(self, tmp_path):
+        """SIGTERM to ONE process -> collective checkpointed stop on ALL
+        (trainer._should_stop), over the CHUNKED streaming pipeline
+        (tiny --device_budget_gb forces cross-process chunk staging).
+
+        An orchestrator preempting a pod usually signals hosts at
+        different times; if the signaled host exited its epoch loop
+        alone, the others would hang in the next collective."""
+        port = _free_port()
+        outdir = str(tmp_path)
+        outs = _launch_workers(2, port, outdir, mode="preempt")
+
+        # chunked mode engaged (main process logs the streaming line)
+        assert any("streaming" in o for o in outs), outs[0]
+
+        results = []
+        for pid in range(2):
+            with open(os.path.join(outdir, f"result_{pid}.json")) as f:
+                results.append(json.load(f))
+        r0, r1 = results
+        # 64-item split / batch 4 = 16 steps/epoch; SIGTERM lands on
+        # process 1 after epoch index 1, so BOTH processes must stop at
+        # step 32 of the 4-epoch (64-step) schedule
+        assert r0["step"] == r1["step"] == 32, (r0["step"], r1["step"])
+        for k, v in r0["final"].items():
+            assert np.isfinite(v) and abs(v - r1["final"][k]) < 1e-6
+
+        run_dir = os.path.join(outdir, "preempt")
+        # the stop checkpointed the exact stopping step (resume-ready)
+        ckpts = [d for d in os.listdir(os.path.join(run_dir, "ckpt"))
+                 if d.startswith("step_") and "tmp" not in d]
+        assert "step_00000032" in ckpts, ckpts
+        rows = [json.loads(line) for line in
+                open(os.path.join(run_dir, "train_metrics.jsonl"))]
+        assert any(r.get("train_stopped_early") == 1.0 for r in rows)
+
+        # pod reshape after preemption: the checkpoint the TWO OS
+        # processes saved collectively resumes IN-process on a (2,1)
+        # virtual mesh and training continues with step continuity
+        from sonet_tpu import config as cfg_mod
+        from sonet_tpu.train.trainer import Trainer
+
+        cfg = cfg_mod.tiny_test().replace(
+            input_pipeline="device", epochs=4, seed=7,
+            mesh_shape=(2, 1), checkpoints_dir=outdir, name="preempt")
+        t = Trainer(cfg, quiet=True)  # resume=True: picks up step_32
+        assert int(t.state.step) == 32
+        m = t.fit(epochs=1)
+        assert np.isfinite(m["loss"])
+        assert int(t.state.step) == 32 + t.steps_per_epoch
