@@ -222,7 +222,19 @@ class Trainer:
     def _prefetch(self, loader, depth: int = 2):
         """Host->device transfer on a background thread, `depth` batches
         ahead, so augmentation/IO overlaps device compute (the reference
-        relied on DataLoader workers for this, modelnet/train.py:25)."""
+        relied on DataLoader workers for this, modelnet/train.py:25).
+
+        Under --distributed the transfers move to the MAIN thread: a
+        device_put onto a cross-process sharding is itself a collective
+        and must keep program order with the step/metric collectives
+        (docs/DESIGN.md multi-host section; a threaded put aborts the
+        runtime). The BatchLoader's own worker threads are unaffected —
+        they produce host numpy only."""
+        if self.multiprocess:
+            for batch in loader:
+                valid = int(batch.pop("valid", self.cfg.batch_size))
+                yield self._device_batch(batch), valid
+            return
         import queue as _queue
         import threading
 

@@ -15,6 +15,9 @@ Modes (argv[5], default "plain"):
   decision (trainer._should_stop all-gather) must stop EVERY process at
   that epoch boundary with a checkpoint — a lone early exit would
   deadlock the others in the next collective.
+* ``host``    — 2 epochs through the HOST input pipeline (threaded
+  BatchLoader + per-batch shard_batch puts + per-step collective stop
+  checks), the path where transfers must stay on the main thread.
 
 Usage: python tests/dist_worker.py PID NPROC PORT OUTDIR [MODE]
 """
@@ -49,6 +52,8 @@ def main():
         name="dist",
         seed=7,
     )
+    if mode == "host":
+        cfg = cfg.replace(input_pipeline="host", name="host")
     if mode == "preempt":
         # ~50 KB budget on a ~110 KB split -> several 4-item chunks:
         # the double-buffered chunked pipeline, cross-process

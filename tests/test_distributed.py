@@ -164,6 +164,26 @@ class TestMultiProcessTraining:
         np.testing.assert_allclose(dist_losses[:6], local_losses[:6],
                                    rtol=0.15, atol=0.05)
 
+    def test_host_pipeline_two_process(self, tmp_path):
+        """The HOST input pipeline under --distributed: threaded
+        BatchLoader (host numpy only) + MAIN-thread shard_batch puts +
+        per-step collective stop checks. Transfers must not come from
+        the prefetch thread — a cross-process device_put is a
+        collective (trainer._prefetch)."""
+        port = _free_port()
+        outdir = str(tmp_path)
+        _launch_workers(2, port, outdir, mode="host")
+        results = []
+        for pid in range(2):
+            with open(os.path.join(outdir, f"result_{pid}.json")) as f:
+                results.append(json.load(f))
+        r0, r1 = results
+        assert r0["step"] == r1["step"] > 0
+        for k, v in r0["final"].items():
+            assert np.isfinite(v)
+            assert abs(v - r1["final"][k]) < 1e-6, (k, v, r1["final"][k])
+        assert r0["final"]["accuracy"] >= 0.5
+
     def test_preemption_of_one_process_stops_all(self, tmp_path):
         """SIGTERM to ONE process -> collective checkpointed stop on ALL
         (trainer._should_stop), over the CHUNKED streaming pipeline
