@@ -95,6 +95,15 @@ class Config:
     # the current one (data/device_pipeline.ChunkedDeviceData) — any
     # dataset size trains at device speed instead of OOMing
     device_budget_gb: float = 0.0
+    # TRAIN-split placement for the device-resident pipeline under a
+    # mesh: "replicated" keeps a full copy per chip (every batch gather
+    # local, the default); "sharded" splits the items over the mesh
+    # 'data' axis so a pod holds a dp-times bigger split resident at
+    # full speed — each chip gathers/augments only its own shard via a
+    # shard-aligned vmapped take (zero collectives; SURVEY.md §2.3
+    # per-host input sharding plan).  Eval stays replicated (per-item
+    # metric order).  data/device_pipeline.ShardedDeviceSplit.
+    dataset_placement: str = "replicated"  # replicated | sharded
     remat: bool = False  # rematerialize the per-point stacks (memory vs FLOPs)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, points) mesh
     mesh_axes: Tuple[str, ...] = ("data", "points")

@@ -116,6 +116,101 @@ def load_device_data(dataset, device=None, mesh=None) -> DeviceData:
                            _make_put(device, mesh))
 
 
+class ShardedDeviceSplit:
+    """Train split SHARDED over the mesh 'data' axis: each chip holds
+    1/dp of the items, so a pod keeps a dp-times bigger split resident
+    at full speed (``--dataset_placement sharded``; SURVEY.md §2.3's
+    per-host input-sharding plan — the reference is single-GPU and has
+    no analogue).
+
+    Layout: every array gets a leading (dp, per) pair sharded
+    ``P('data')`` on axis 0; epoch index tables are (S, dp, b) LOCAL
+    indices (b = B/dp) sharded ``P(None, 'data')``.  ``sample_batch``
+    gathers with a shard-aligned vmapped take — probed collective-free
+    in the compiled HLO — then merges (dp, b) -> B, after which the
+    whole augment/model path is identical to the replicated layout.
+
+    Shuffle semantics: items are assigned to shards ONCE by a seeded
+    global permutation; each epoch shuffles WITHIN shards, so a batch is
+    the union of dp independent uniform draws from dp random item
+    subsets — stratified, not identical to the reference's global
+    shuffle (modelnet/train.py DataLoader shuffle=True), but the same
+    distribution family; exact batch composition is pinned by the
+    equality test against a replicated oracle consuming the composed
+    global table (tests/test_device_pipeline.py).  Per epoch each shard
+    drops ``counts[s] % b`` items plus ``min(counts) // b``-trailing
+    rows — the per-shard analogue of the reference's drop_last.
+    """
+
+    def __init__(self, dataset_or_host, mesh, seed: int = 0):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        host = (dataset_or_host if isinstance(dataset_or_host, dict)
+                else stack_host_split(dataset_or_host))
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.dp = int(mesh.shape[self.axis])
+        T = host["pc"].shape[0]
+        self.size = T
+        self.seed = seed
+        base, rem = divmod(T, self.dp)
+        self.counts = np.array([base + (s < rem) for s in range(self.dp)],
+                               np.int64)
+        per = int(self.counts.max()) if T else 0
+        self.per = per
+        self.perm = np.random.default_rng(seed + 777).permutation(T)
+        offs = np.concatenate([[0], np.cumsum(self.counts)])
+        rows = []  # (dp, per) global item ids; short shards pad w/ last
+        for s in range(self.dp):
+            ids = self.perm[offs[s]:offs[s + 1]]
+            if len(ids) < per:
+                ids = np.concatenate([ids,
+                                      np.repeat(ids[-1:], per - len(ids))])
+            rows.append(ids)
+        shard_ids = np.stack(rows)  # (dp, per)
+
+        def put(a):
+            return jax.device_put(
+                a[shard_ids.reshape(-1)].reshape((self.dp, per) + a.shape[1:]),
+                NamedSharding(mesh, P(self.axis)))
+
+        self.data = DeviceData(
+            pc=put(host["pc"]),
+            sn=put(host["sn"]) if "sn" in host else None,
+            node=put(host["node"]),
+            label=put(host["label"]),
+            seg=put(host["seg"]) if "seg" in host else None)
+
+    def nbytes_per_shard(self) -> int:
+        return sum(x.nbytes for x in jax.tree_util.tree_leaves(self.data)
+                   ) // max(self.dp, 1)
+
+    def epoch_index(self, shuffle: bool, epoch: int, batch_size: int):
+        """((S, dp, b) LOCAL index table sharded P(None, 'data'),
+        per-row valid counts).  Deterministic per (seed, epoch) — every
+        process computes the identical table under --distributed."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if batch_size % self.dp:
+            raise ValueError(
+                f"--dataset_placement sharded needs batch_size "
+                f"({batch_size}) divisible by the data-axis size "
+                f"({self.dp})")
+        b = batch_size // self.dp
+        S = int(self.counts.min()) // b
+        if S == 0:
+            return None, []
+        rng = np.random.default_rng(self.seed + 1000 + epoch)
+        table = np.empty((S, self.dp, b), np.int32)
+        for s in range(self.dp):
+            loc = (rng.permutation(int(self.counts[s])) if shuffle
+                   else np.arange(int(self.counts[s])))
+            table[:, s, :] = loc[: S * b].reshape(S, b)
+        table_dev = jax.device_put(
+            table, NamedSharding(self.mesh, P(None, self.axis)))
+        return table_dev, [batch_size] * S
+
+
 class ChunkedDeviceData:
     """Streaming variant of the device-resident pipeline for splits
     bigger than the HBM budget (VERDICT r2 #2).
@@ -289,15 +384,34 @@ def sample_batch(data: DeviceData, idx: jax.Array, rng: jax.Array,
     random distinct subsample to ``input_pc_num``, then optional y
     rotation, optional 3-axis perturbation, jitter (pc/sn 0.01/0.05,
     SOM nodes 0.04/0.1), per-item scale U(0.8, 1.2), optional shift."""
-    B = idx.shape[0]
-    N_raw = data.pc.shape[1]
     N = cfg.input_pc_num
 
-    pc = jnp.take(data.pc, idx, axis=0)          # (B, N_raw, D)
-    sn = jnp.take(data.sn, idx, axis=0) if data.sn is not None else None
-    node = jnp.take(data.node, idx, axis=0)      # (B, M, D)
-    label = jnp.take(data.label, idx, axis=0)
-    seg = jnp.take(data.seg, idx, axis=0) if data.seg is not None else None
+    if data.pc.ndim == 4:
+        # sharded placement (ShardedDeviceSplit): arrays (dp, per, ...)
+        # and idx (dp, b) both sharded over 'data' on axis 0, so the
+        # vmapped take is per-shard LOCAL (probed: zero collectives in
+        # the compiled HLO); the (dp, b) -> B merge keeps the batch
+        # axis data-sharded and the rest of this function identical
+        dp, b = idx.shape
+        B = dp * b
+
+        def _take(a):
+            if a is None:
+                return None
+            g = jax.vmap(lambda d, i: jnp.take(d, i, axis=0))(a, idx)
+            return g.reshape((B,) + g.shape[2:])
+
+        pc, sn, node, label, seg = (_take(data.pc), _take(data.sn),
+                                    _take(data.node), _take(data.label),
+                                    _take(data.seg))
+    else:
+        B = idx.shape[0]
+        pc = jnp.take(data.pc, idx, axis=0)      # (B, N_raw, D)
+        sn = jnp.take(data.sn, idx, axis=0) if data.sn is not None else None
+        node = jnp.take(data.node, idx, axis=0)  # (B, M, D)
+        label = jnp.take(data.label, idx, axis=0)
+        seg = jnp.take(data.seg, idx, axis=0) if data.seg is not None else None
+    N_raw = pc.shape[1]
 
     r_sub, r_roty, r_rotp, r_jpc, r_jsn, r_jnode, r_scale, r_shift = \
         jax.random.split(rng, 8)

@@ -180,17 +180,43 @@ class Trainer:
         self.device_train = self.device_eval = None
         if cfg.input_pipeline == "device":
             from ..data.device_pipeline import (ChunkedDeviceData,
+                                                ShardedDeviceSplit,
                                                 device_data_from_host,
                                                 make_device_epoch_fns,
                                                 split_nbytes,
                                                 stack_host_split)
             budget = int(cfg.device_budget_gb * 1e9)
+            if cfg.dataset_placement not in ("replicated", "sharded"):
+                raise ValueError(
+                    f"--dataset_placement {cfg.dataset_placement!r}: want "
+                    f"'replicated' or 'sharded'")
 
             def build(dataset, what):
                 # under a mesh: dataset replicated, index table sharded
-                # over 'data' (see load_device_data docstring)
+                # over 'data' (see load_device_data docstring) — unless
+                # --dataset_placement sharded splits the TRAIN items
+                # over the data axis (eval keeps per-item metric order)
                 host = stack_host_split(dataset)
                 nbytes = split_nbytes(host)
+                if (cfg.dataset_placement == "sharded" and what == "train"
+                        and self.mesh is not None):
+                    dp = int(self.mesh.shape[self.mesh.axis_names[0]])
+                    if budget > 0 and nbytes // max(dp, 1) > budget:
+                        if self.is_main:
+                            print(f"device pipeline [{what}]: even sharded "
+                                  f"over {dp} chips the split exceeds "
+                                  f"--device_budget_gb "
+                                  f"{cfg.device_budget_gb:g} — falling back "
+                                  f"to chunked streaming", flush=True)
+                    else:
+                        sd = ShardedDeviceSplit(host, self.mesh,
+                                                seed=cfg.seed)
+                        if self.is_main:
+                            print(f"device pipeline [{what}]: sharded over "
+                                  f"{sd.dp} data shards of ~{sd.per} items "
+                                  f"({sd.nbytes_per_shard() / 1e9:.2f} "
+                                  f"GB/chip)", flush=True)
+                        return sd
                 if budget > 0 and nbytes > budget:
                     cd = ChunkedDeviceData(host, budget, cfg.batch_size,
                                            mesh=self.mesh, seed=cfg.seed)
@@ -259,6 +285,9 @@ class Trainer:
         a device-resident split.  Ships in ONE host->device transfer;
         the epoch program scans it (per-step dispatch on a remote chip
         costs ~1-20 ms of round-trip latency each)."""
+        from ..data.device_pipeline import ShardedDeviceSplit
+        if isinstance(data, ShardedDeviceSplit):
+            return data.epoch_index(shuffle, epoch, self.cfg.batch_size)
         T, B = data.size, self.cfg.batch_size
         order = np.arange(T)
         if shuffle:
@@ -288,6 +317,13 @@ class Trainer:
         from ..data.device_pipeline import ChunkedDeviceData
         return isinstance(data, ChunkedDeviceData)
 
+    @staticmethod
+    def _dev_arrays(data):
+        """The jit-traceable DeviceData pytree behind a device split
+        (ShardedDeviceSplit wraps its arrays; the rest ARE the pytree)."""
+        from ..data.device_pipeline import ShardedDeviceSplit
+        return data.data if isinstance(data, ShardedDeviceSplit) else data
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         t0 = time.perf_counter()
         metrics = None
@@ -316,7 +352,8 @@ class Trainer:
                 self.device_train, True, epoch)
             if epoch_idx is not None:
                 self.state, ms = self.train_epoch_dev(
-                    self.state, self.device_train, epoch_idx, self.rng)
+                    self.state, self._dev_arrays(self.device_train),
+                    epoch_idx, self.rng)
                 ms = fetch_global(ms)  # one sync (all-gather if multihost)
                 steps = len(epoch_idx)
                 for i in range(0, steps, self.log_every):

