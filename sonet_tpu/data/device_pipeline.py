@@ -76,6 +76,25 @@ def split_nbytes(host: dict) -> int:
     return sum(a.nbytes for a in host.values())
 
 
+def estimate_split_nbytes(dataset) -> int:
+    """Stacked-split bytes WITHOUT stacking (one raw item × len):
+    lets placement/budget decisions run before any full-split host
+    materialization (labels counted at their stacked int64 width)."""
+    get = getattr(dataset, "raw_item", None)
+    if get is None:
+        raise TypeError(
+            f"{type(dataset).__name__} has no raw_item(); the "
+            "device-resident pipeline needs un-augmented full-resolution "
+            "items (use the host input pipeline for this dataset)")
+    first = get(0)
+    per = 0
+    for k in ("pc", "sn", "node", "label", "seg"):
+        if k in first:
+            a = np.asarray(first[k])
+            per += a.size * (8 if k == "label" else a.dtype.itemsize)
+    return per * len(dataset)
+
+
 def _make_put(device=None, mesh=None):
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -140,17 +159,59 @@ class ShardedDeviceSplit:
     global table (tests/test_device_pipeline.py).  Per epoch each shard
     drops ``counts[s] % b`` items plus ``min(counts) // b``-trailing
     rows — the per-shard analogue of the reference's drop_last.
+
+    Per-process loading: built from a DATASET (not a pre-stacked dict),
+    each process stacks ONLY the shard rows that land on its own
+    addressable devices (``jax.make_array_from_callback`` asks for
+    exactly those) — under ``--distributed`` a pod host materializes
+    1/num_hosts of the split in host RAM instead of all of it, the
+    analogue of the reference's per-worker disk streaming at pod scale.
+    ``local_items`` records the global ids this process stacked.
     """
 
     def __init__(self, dataset_or_host, mesh, seed: int = 0):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        host = (dataset_or_host if isinstance(dataset_or_host, dict)
-                else stack_host_split(dataset_or_host))
+        keyset = ("pc", "sn", "node", "label", "seg")
+        if isinstance(dataset_or_host, dict):
+            host = dataset_or_host
+            T = host["pc"].shape[0]
+            keys = [k for k in keyset if k in host]
+            shapes = {k: tuple(host[k].shape[1:]) for k in keys}
+            dtypes = {k: (np.dtype(np.int64) if k == "label"
+                          else host[k].dtype) for k in keys}
+
+            def fetch_rows(ids):
+                return {k: host[k][ids].astype(dtypes[k], copy=False)
+                        for k in keys}
+        else:
+            dataset = dataset_or_host
+            get = getattr(dataset, "raw_item", None)
+            if get is None:
+                raise TypeError(
+                    f"{type(dataset).__name__} has no raw_item(); the "
+                    "device-resident pipeline needs un-augmented "
+                    "full-resolution items (use the host input pipeline "
+                    "for this dataset)")
+            first = get(0)
+            T = len(dataset)
+            keys = [k for k in keyset if k in first]
+            shapes = {k: tuple(np.shape(first[k])) for k in keys}
+            dtypes = {k: (np.dtype(np.int64) if k == "label"
+                          else np.asarray(first[k]).dtype) for k in keys}
+
+            def fetch_rows(ids):
+                out = {k: np.empty((len(ids),) + shapes[k], dtypes[k])
+                       for k in keys}
+                for j, gid in enumerate(ids):
+                    item = get(int(gid))
+                    for k in keys:
+                        out[k][j] = item[k]
+                return out
+
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.dp = int(mesh.shape[self.axis])
-        T = host["pc"].shape[0]
         self.size = T
         self.seed = seed
         base, rem = divmod(T, self.dp)
@@ -169,17 +230,40 @@ class ShardedDeviceSplit:
             rows.append(ids)
         shard_ids = np.stack(rows)  # (dp, per)
 
-        def put(a):
-            return jax.device_put(
-                a[shard_ids.reshape(-1)].reshape((self.dp, per) + a.shape[1:]),
-                NamedSharding(mesh, P(self.axis)))
+        # make_array_from_callback asks only for ADDRESSABLE shards
+        # (slice(s, s+1) on axis 0 under P('data')): the per-shard row
+        # cache means each local shard's items are stacked exactly once
+        # even though the points-axis replicas request the same slice —
+        # and nothing else is ever materialized on this process.  Also
+        # collective-free, unlike a global-array device_put.
+        row_cache: dict = {}
+
+        def rows_for(s: int) -> dict:
+            if s not in row_cache:
+                row_cache[s] = fetch_rows(shard_ids[s])
+            return row_cache[s]
+
+        sharding = NamedSharding(mesh, P(self.axis))
+
+        def make(k):
+            gshape = (self.dp, per) + shapes[k]
+
+            def cb(index):
+                lo, hi, _ = index[0].indices(self.dp)
+                return np.stack([rows_for(s)[k] for s in range(lo, hi)])
+
+            return jax.make_array_from_callback(gshape, sharding, cb)
 
         self.data = DeviceData(
-            pc=put(host["pc"]),
-            sn=put(host["sn"]) if "sn" in host else None,
-            node=put(host["node"]),
-            label=put(host["label"]),
-            seg=put(host["seg"]) if "seg" in host else None)
+            pc=make("pc"),
+            sn=make("sn") if "sn" in keys else None,
+            node=make("node"),
+            label=make("label"),
+            seg=make("seg") if "seg" in keys else None)
+        self.local_items = sorted(
+            {int(g) for s in row_cache
+             for g in shard_ids[s][: int(self.counts[s])]})
+        row_cache.clear()  # free the host copies; HBM holds the split now
 
     def nbytes_per_shard(self) -> int:
         return sum(x.nbytes for x in jax.tree_util.tree_leaves(self.data)

@@ -182,6 +182,7 @@ class Trainer:
             from ..data.device_pipeline import (ChunkedDeviceData,
                                                 ShardedDeviceSplit,
                                                 device_data_from_host,
+                                                estimate_split_nbytes,
                                                 make_device_epoch_fns,
                                                 split_nbytes,
                                                 stack_host_split)
@@ -196,12 +197,15 @@ class Trainer:
                 # over 'data' (see load_device_data docstring) — unless
                 # --dataset_placement sharded splits the TRAIN items
                 # over the data axis (eval keeps per-item metric order)
-                host = stack_host_split(dataset)
-                nbytes = split_nbytes(host)
                 if (cfg.dataset_placement == "sharded" and what == "train"
                         and self.mesh is not None):
+                    # budget check from ONE raw item so the sharded path
+                    # never stacks the full split on any host — each
+                    # process materializes only its own shards' items
+                    # (ShardedDeviceSplit per-process loading)
                     dp = int(self.mesh.shape[self.mesh.axis_names[0]])
-                    if budget > 0 and nbytes // max(dp, 1) > budget:
+                    est = estimate_split_nbytes(dataset)
+                    if budget > 0 and est // max(dp, 1) > budget:
                         if self.is_main:
                             print(f"device pipeline [{what}]: even sharded "
                                   f"over {dp} chips the split exceeds "
@@ -209,14 +213,18 @@ class Trainer:
                                   f"{cfg.device_budget_gb:g} — falling back "
                                   f"to chunked streaming", flush=True)
                     else:
-                        sd = ShardedDeviceSplit(host, self.mesh,
+                        sd = ShardedDeviceSplit(dataset, self.mesh,
                                                 seed=cfg.seed)
                         if self.is_main:
                             print(f"device pipeline [{what}]: sharded over "
                                   f"{sd.dp} data shards of ~{sd.per} items "
                                   f"({sd.nbytes_per_shard() / 1e9:.2f} "
-                                  f"GB/chip)", flush=True)
+                                  f"GB/chip; this process stacked "
+                                  f"{len(sd.local_items)} items)",
+                                  flush=True)
                         return sd
+                host = stack_host_split(dataset)
+                nbytes = split_nbytes(host)
                 if budget > 0 and nbytes > budget:
                     cd = ChunkedDeviceData(host, budget, cfg.batch_size,
                                            mesh=self.mesh, seed=cfg.seed)

@@ -18,6 +18,10 @@ Modes (argv[5], default "plain"):
 * ``host``    — 2 epochs through the HOST input pipeline (threaded
   BatchLoader + per-batch shard_batch puts + per-step collective stop
   checks), the path where transfers must stay on the main thread.
+* ``sharded`` — 2 epochs with ``--dataset_placement sharded``: the
+  train split is split over the pod's data axis and EACH PROCESS must
+  stack only its own shard's items (per-process loading); the worker
+  records ``local_items`` so the parent can assert the partition.
 
 Usage: python tests/dist_worker.py PID NPROC PORT OUTDIR [MODE]
 """
@@ -54,6 +58,8 @@ def main():
     )
     if mode == "host":
         cfg = cfg.replace(input_pipeline="host", name="host")
+    if mode == "sharded":
+        cfg = cfg.replace(dataset_placement="sharded", name="sharded")
     if mode == "preempt":
         # ~50 KB budget on a ~110 KB split -> several 4-item chunks:
         # the double-buffered chunked pipeline, cross-process
@@ -79,6 +85,11 @@ def main():
     assert jax.device_count() == nproc, jax.device_count()
     final = trainer.fit()
 
+    from sonet_tpu.data.device_pipeline import ShardedDeviceSplit
+    extra = {}
+    if isinstance(trainer.device_train, ShardedDeviceSplit):
+        extra = {"local_items": trainer.device_train.local_items,
+                 "split_size": trainer.device_train.size}
     with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
         json.dump({
             "pid": pid,
@@ -89,6 +100,7 @@ def main():
             "best": (None if trainer.best_metric is None
                      else float(trainer.best_metric)),
             "step": int(trainer.state.step),
+            **extra,
         }, f)
     return 0
 

@@ -260,6 +260,44 @@ class TestShardedPlacement:
         with pytest.raises(ValueError, match="divisible"):
             sd.epoch_index(True, 0, batch_size=6)
 
+    def test_per_process_loading_from_dataset(self):
+        """Built from a DATASET, each process stacks only its own
+        addressable shards' items (make_array_from_callback); on a
+        single process that is every item — and the resulting arrays
+        are bit-identical to the pre-stacked dict path."""
+        from sonet_tpu.data.device_pipeline import (ShardedDeviceSplit,
+                                                    estimate_split_nbytes,
+                                                    split_nbytes)
+
+        mesh = self._mesh()
+        host = self._host(T=26)
+
+        class RecDataset:
+            def __init__(self):
+                self.fetched = []
+
+            def __len__(self):
+                return 26
+
+            def raw_item(self, idx):
+                self.fetched.append(idx)
+                return {k: v[idx] for k, v in host.items()}
+
+        ds = RecDataset()
+        assert estimate_split_nbytes(ds) == split_nbytes(host)
+        ds.fetched = []
+        sd = ShardedDeviceSplit(ds, mesh, seed=1)
+        sd_dict = ShardedDeviceSplit(host, mesh, seed=1)
+        for a, b in zip(jax.tree_util.tree_leaves(sd.data),
+                        jax.tree_util.tree_leaves(sd_dict.data)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert sd.data.label.dtype == sd_dict.data.label.dtype
+        assert sd.local_items == list(range(26))
+        # each shard row stacked exactly once: 26 real + 2 pad repeats
+        # (+1: the constructor's shape/dtype probe of item 0)
+        assert sd.dp * sd.per == 28
+        assert len(ds.fetched) == 29
+
     def test_trainer_sharded_smoke(self, tmp_path):
         from sonet_tpu.data.device_pipeline import ShardedDeviceSplit
 

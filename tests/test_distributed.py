@@ -184,6 +184,31 @@ class TestMultiProcessTraining:
             assert abs(v - r1["final"][k]) < 1e-6, (k, v, r1["final"][k])
         assert r0["final"]["accuracy"] >= 0.5
 
+    def test_sharded_placement_two_process(self, tmp_path):
+        """--dataset_placement sharded under --distributed: each
+        process must stack ONLY its own shard's items (per-process
+        loading — a pod host holds 1/num_hosts of the split in RAM),
+        the shards must partition the item set exactly, and the global
+        training program must agree across processes."""
+        port = _free_port()
+        outdir = str(tmp_path)
+        _launch_workers(2, port, outdir, mode="sharded")
+        results = []
+        for pid in range(2):
+            with open(os.path.join(outdir, f"result_{pid}.json")) as f:
+                results.append(json.load(f))
+        r0, r1 = results
+        assert r0["mesh_shape"] == [2, 1]
+        a, b = set(r0["local_items"]), set(r1["local_items"])
+        assert a and b and not (a & b), "processes stacked the same items"
+        assert sorted(a | b) == list(range(r0["split_size"]))
+        # half the split each (T even for the synthetic tiny split)
+        assert abs(len(a) - len(b)) <= 1
+        assert r0["step"] == r1["step"] > 0
+        for k, v in r0["final"].items():
+            assert np.isfinite(v)
+            assert abs(v - r1["final"][k]) < 1e-6, (k, v, r1["final"][k])
+
     def test_preemption_of_one_process_stops_all(self, tmp_path):
         """SIGTERM to ONE process -> collective checkpointed stop on ALL
         (trainer._should_stop), over the CHUNKED streaming pipeline
