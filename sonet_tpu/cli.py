@@ -38,6 +38,9 @@ _COMMANDS = {
                    "train the point-cloud autoencoder (Chamfer)"),
     "retrieve": ("sonet_tpu.tasks.retrieve",
                  "train + evaluate SHREC16 retrieval (rank files, mAP/P@k)"),
+    "reproduce": ("sonet_tpu.tasks.reproduce",
+                  "archive -> ingest -> som -> check -> train -> gated "
+                  "verdict, one command"),
     "infer": ("sonet_tpu.tasks.infer",
               "restore a run and stream a split (predictions + metrics)"),
     "serve": ("sonet_tpu.tasks.serve",

@@ -212,6 +212,13 @@ class ShardedDeviceSplit:
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.dp = int(mesh.shape[self.axis])
+        if T < self.dp:
+            # an empty shard would otherwise surface as an opaque
+            # ragged-np.stack ValueError from the pad below (ADVICE r3)
+            raise ValueError(
+                f"dataset has {T} items but the '{self.axis}' mesh axis "
+                f"has {self.dp} shards; sharded placement needs at least "
+                "one item per shard — use --dataset_placement replicated")
         self.size = T
         self.seed = seed
         base, rem = divmod(T, self.dp)

@@ -191,6 +191,13 @@ class Trainer:
                 raise ValueError(
                     f"--dataset_placement {cfg.dataset_placement!r}: want "
                     f"'replicated' or 'sharded'")
+            if cfg.dataset_placement == "sharded" and self.mesh is None:
+                # don't silently unmeet the user's placement ask (ADVICE
+                # r3): sharded needs a mesh data axis to split over
+                if self.is_main:
+                    print("device pipeline: --dataset_placement sharded "
+                          "needs a mesh (--mesh_shape); using replicated "
+                          "placement on the single device", flush=True)
 
             def build(dataset, what):
                 # under a mesh: dataset replicated, index table sharded
@@ -390,6 +397,18 @@ class Trainer:
         last["sec_per_step"] = (time.perf_counter() - t0) / steps
         return last
 
+    @staticmethod
+    def _fetch_eval(ms):
+        """fetch_global only what evaluate() consumes from the device-
+        eval path: per-item ``*_i`` columns and per-step scalars.  The
+        stacked visual payloads (score/predicted_pc, (S, B, C...)) are
+        never read there (db=None skips _save_visuals), so shipping
+        them host-side — or all-gathering them across a pod — is pure
+        waste (ADVICE r3)."""
+        return fetch_global({k: v for k, v in ms.items()
+                             if k.endswith("_i")
+                             or getattr(v, "ndim", 0) <= 1})
+
     def _eval_batches(self):
         if self.device_eval is not None and self._is_chunked(
                 self.device_eval):
@@ -399,7 +418,7 @@ class Trainer:
                 ms = self.eval_epoch_dev(self.state, dd, table,
                                          jnp.asarray(i0, jnp.int32))
                 i0 += len(table)
-                ms = fetch_global(ms)
+                ms = self._fetch_eval(ms)
                 for i, valid in enumerate(valids):
                     yield None, {k: v[i] for k, v in ms.items()}, valid
         elif self.device_eval is not None:
@@ -409,7 +428,7 @@ class Trainer:
                 return
             ms = self.eval_epoch_dev(self.state, self.device_eval,
                                      epoch_idx, jnp.asarray(0, jnp.int32))
-            ms = fetch_global(ms)  # one sync (all-gather if multihost)
+            ms = self._fetch_eval(ms)  # one sync (all-gather if multihost)
             for i, valid in enumerate(valids):
                 yield None, {k: v[i] for k, v in ms.items()}, valid
         else:

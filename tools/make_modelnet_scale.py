@@ -52,16 +52,31 @@ def superellipsoid_mesh(e1, e2, aspect, nu=24, nv=48):
     return verts, np.asarray(faces, np.int64)
 
 
-def class_params(cls, rng):
-    """Distinct (e1, e2, aspect) per class + per-instance jitter."""
-    base_e1 = 0.3 + 0.45 * (cls % 8)            # 0.3 .. 3.45
-    base_e2 = 0.3 + 0.7 * (cls // 8)            # 0.3 .. 3.1
+def class_params(cls, rng, hardness=0.0):
+    """Distinct (e1, e2, aspect) per class + per-instance jitter.
+
+    ``hardness`` in [0, 1] de-saturates the quality gates (VERDICT r3
+    #2): at 0 this is the original well-separated family; above 0,
+    classes come in CONFUSABLE PAIRS (the odd class reuses its even
+    partner's base shape, separated only by a margin that shrinks with
+    hardness) and per-instance jitter widens (intra-class variation
+    grows into the inter-class margin).  hardness=0 reproduces the
+    round-2 datasets bit-for-bit."""
+    base = cls if hardness <= 0 else cls - (cls % 2)
+    base_e1 = 0.3 + 0.45 * (base % 8)            # 0.3 .. 3.45
+    base_e2 = 0.3 + 0.7 * (base // 8)            # 0.3 .. 3.1
     aspect = np.array([1.0,
-                       0.4 + 0.35 * ((cls * 3) % 5),
-                       0.5 + 0.25 * ((cls * 7) % 4)])
-    e1 = base_e1 * rng.uniform(0.9, 1.1)
-    e2 = base_e2 * rng.uniform(0.9, 1.1)
-    aspect = aspect * rng.uniform(0.85, 1.15, 3)
+                       0.4 + 0.35 * ((base * 3) % 5),
+                       0.5 + 0.25 * ((base * 7) % 4)])
+    if hardness > 0 and cls % 2:
+        m = 1.0 - hardness  # pair margin -> 0 as hardness -> 1
+        base_e1 *= 1.0 + 0.45 * m
+        base_e2 *= 1.0 + 0.35 * m
+        aspect = aspect * np.array([1.0, 1.0 + 0.3 * m, 1.0 - 0.2 * m])
+    j = 0.1 * (1.0 + 3.0 * hardness)
+    e1 = base_e1 * rng.uniform(1 - j, 1 + j)
+    e2 = base_e2 * rng.uniform(1 - j, 1 + j)
+    aspect = aspect * rng.uniform(max(1 - 1.5 * j, 0.2), 1 + 1.5 * j, 3)
     return e1, e2, aspect
 
 
@@ -73,6 +88,10 @@ def main():
     p.add_argument("--test_per_class", type=int, default=62)
     p.add_argument("--points", type=int, default=10000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hardness", type=float, default=0.0,
+                   help="0 = well-separated classes (round-2 soaks); "
+                        ">0 = confusable pairs + wider intra-class "
+                        "jitter (gate-sensitive regime, VERDICT r3 #2)")
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -90,9 +109,10 @@ def main():
         n_items = args.train_per_class + args.test_per_class
         for i in range(n_items):
             mode = "train" if i < args.train_per_class else "test"
-            e1, e2, aspect = class_params(c, rng)
+            e1, e2, aspect = class_params(c, rng, args.hardness)
             verts, faces = superellipsoid_mesh(e1, e2, aspect)
-            verts = verts + 0.01 * rng.standard_normal(verts.shape)
+            verts = verts + (0.01 * (1 + 3 * args.hardness)
+                             * rng.standard_normal(verts.shape))
             pts, normals = sample_mesh(verts, faces, args.points, rng)
             pts = normalize_cloud(pts)
             name = f"{cname}_{i + 1:04d}"

@@ -23,14 +23,23 @@ from sonet_tpu.data.sampler import normalize_cloud, sample_mesh
 from make_modelnet_scale import superellipsoid_mesh  # noqa: E402
 
 
-def class_params(cls, rng):
-    e1 = 0.3 + 0.3 * (cls % 11)
-    e2 = 0.3 + 0.6 * (cls // 11)
+def class_params(cls, rng, hardness=0.0):
+    """hardness > 0: confusable pairs + wider jitter (VERDICT r3 #2 —
+    de-saturates the retrieval mAP=1.0 regime); 0 = round-2 behavior."""
+    base = cls if hardness <= 0 else cls - (cls % 2)
+    e1 = 0.3 + 0.3 * (base % 11)
+    e2 = 0.3 + 0.6 * (base // 11)
     aspect = np.array([1.0,
-                       0.4 + 0.3 * ((cls * 7) % 5),
-                       0.5 + 0.22 * ((cls * 3) % 4)])
-    return (e1 * rng.uniform(0.92, 1.08), e2 * rng.uniform(0.92, 1.08),
-            aspect * rng.uniform(0.9, 1.1, 3))
+                       0.4 + 0.3 * ((base * 7) % 5),
+                       0.5 + 0.22 * ((base * 3) % 4)])
+    if hardness > 0 and cls % 2:
+        m = 1.0 - hardness
+        e1 *= 1.0 + 0.3 * m
+        e2 *= 1.0 + 0.25 * m
+        aspect = aspect * np.array([1.0, 1.0 + 0.25 * m, 1.0 - 0.15 * m])
+    j = 0.08 * (1.0 + 3.0 * hardness)
+    return (e1 * rng.uniform(1 - j, 1 + j), e2 * rng.uniform(1 - j, 1 + j),
+            aspect * rng.uniform(max(1 - 1.25 * j, 0.2), 1 + 1.25 * j, 3))
 
 
 def main():
@@ -42,6 +51,9 @@ def main():
     p.add_argument("--points", type=int, default=10000)
     p.add_argument("--rows", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hardness", type=float, default=0.0,
+                   help="0 = well-separated (round-2); >0 = confusable "
+                        "pairs + wider jitter (VERDICT r3 #2)")
     args = p.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -57,9 +69,10 @@ def main():
         for i in range(args.per_class):
             mode = ("train" if i < n_train
                     else "val" if i < n_train + n_val else "test")
-            e1, e2, aspect = class_params(c, rng)
+            e1, e2, aspect = class_params(c, rng, args.hardness)
             verts, faces = superellipsoid_mesh(e1, e2, aspect)
-            verts = verts + 0.01 * rng.standard_normal(verts.shape)
+            verts = verts + (0.01 * (1 + 3 * args.hardness)
+                             * rng.standard_normal(verts.shape))
             pts, normals = sample_mesh(verts, faces, args.points, rng)
             pts = normalize_cloud(pts)
             name = f"{idx:06d}"

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Large-N envelope: how big a cloud can one chip train on, and at
+what ms/step (VERDICT r3 #4).
+
+The point axis is this rebuild's long-context analogue (SURVEY.md §5):
+the reference materializes a B x C x N x M tensor in its SOM kNN
+(util/som.py:245-250) and a B x C x kN grouped stack, which caps N on
+a single GPU; the sorted pipeline + windowed Pallas pooling here keep
+the working set O(B kN C) with no N x M blowup, and ``--remat``
+rematerializes the per-point stacks in the backward pass to push N
+further at the cost of recompute.
+
+Walks ``input_pc_num`` upward at the flagship ModelNet40 configuration
+(full widths, bf16, two Adam groups) until compile/alloc fails, and
+records ms/step (fetch-synced wall over ``--iters`` steps) for each
+point.  Run on the real chip:
+
+    PYTHONPATH=/root/.axon_site:. python tools/perf_bigN.py \
+        [--batch 8] [--remat 0 1] [--ns 5000 10000 ...] [--iters 10]
+
+Prints a markdown table for docs/DESIGN.md.
+"""
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+DEFAULT_NS = [5000, 10000, 20000, 40000, 80000, 120000, 160000, 240000,
+              320000]
+
+
+def measure(B, N, remat, iters):
+    """-> (wall ms/step, compile s) or raises."""
+    import jax
+    import jax.numpy as jnp
+    from sonet_tpu import config as cfg_mod, train
+    from sonet_tpu.models import build_model
+
+    cfg = cfg_mod.modelnet40().replace(batch_size=B, input_pc_num=N,
+                                       remat=bool(remat))
+    model = build_model(cfg)
+    rs = np.random.RandomState(0)
+    M = cfg.node_num
+    batch = {
+        "pc": jnp.asarray(rs.randn(B, N, 3).astype(np.float32)),
+        "sn": jnp.asarray(rs.randn(B, N, 3).astype(np.float32)),
+        "node": jnp.asarray(rs.randn(B, M, 3).astype(np.float32)),
+        "label": jnp.asarray(rs.randint(0, cfg.classes, B)),
+    }
+    state = train.init_state(model, cfg, jax.random.PRNGKey(0),
+                             (batch["pc"], batch["sn"], batch["node"]),
+                             steps_per_epoch=1230)
+    train_step, _ = train.make_steps(model, cfg, 1230)
+    raw = train_step.__wrapped__
+    rng = jax.random.PRNGKey(1)
+    f = jax.jit(lambda s: raw(s, batch, rng))
+    t0 = time.perf_counter()
+    compiled = f.lower(state).compile()
+    compile_s = time.perf_counter() - t0
+    out = compiled(state)
+    float(out[1]["loss"])  # sync (axon: only fetches synchronize)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(state)
+    float(out[1]["loss"])
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    return ms, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, nargs="*", default=[8, 1])
+    ap.add_argument("--remat", type=int, nargs="*", default=[0, 1])
+    ap.add_argument("--ns", type=int, nargs="*", default=DEFAULT_NS)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    rows = []
+    print("| B | remat | N | ms/step | kpts/s | compile s |")
+    print("|---|---|---|---|---|---|")
+    for B in args.batch:
+        for remat in args.remat:
+            for N in args.ns:
+                try:
+                    ms, cs = measure(B, N, remat, args.iters)
+                except KeyboardInterrupt:
+                    raise
+                except Exception as e:
+                    msg = f"{type(e).__name__}"
+                    if "RESOURCE_EXHAUSTED" in str(e) or "memory" in \
+                            str(e).lower():
+                        msg = "OOM"
+                    else:
+                        traceback.print_exc(limit=2, file=sys.stderr)
+                    print(f"| {B} | {remat} | {N} | {msg} | | |",
+                          flush=True)
+                    rows.append((B, remat, N, None))
+                    break  # larger N will not fit either
+                kpts = B * N / ms  # points/ms == kpts/s
+                print(f"| {B} | {remat} | {N} | {ms:.2f} | {kpts:.0f} "
+                      f"| {cs:.0f} |", flush=True)
+                rows.append((B, remat, N, ms))
+    # envelope summary
+    for B in args.batch:
+        for remat in args.remat:
+            fit = [r for r in rows if r[0] == B and r[1] == remat
+                   and r[3] is not None]
+            if fit:
+                b, r, n, ms = max(fit, key=lambda r: r[2])
+                print(f"max N at B={b} remat={r}: {n} ({ms:.2f} ms/step)")
+
+
+if __name__ == "__main__":
+    main()

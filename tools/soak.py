@@ -31,12 +31,20 @@ def main():
     p.add_argument("--input_pipeline", default="host",
                    choices=("host", "device"))
     p.add_argument("--out", default="/tmp/soak_ckpt")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--assert_band", default=None, metavar="LO,HI",
+                   help="fail (exit 1) unless the task's headline "
+                        "metric lands inside [LO, HI] — the committed "
+                        "sensitivity band for hardness-tuned soak "
+                        "datasets (VERDICT r3 #2; bands in "
+                        "docs/DESIGN.md)")
     args = p.parse_args()
 
     cfg = PRESETS[args.preset]().replace(
         dataroot=args.dataroot,
         input_pipeline=args.input_pipeline,
-        name=f"soak_{args.preset}_{args.input_pipeline}",
+        seed=args.seed,
+        name=f"soak_{args.preset}_{args.input_pipeline}_s{args.seed}",
         checkpoints_dir=args.out)
     t0 = time.perf_counter()
     trainer = Trainer(cfg, quiet=True, resume=False)
@@ -51,6 +59,18 @@ def main():
               f"{cfg.batch_size / sps:.1f} clouds/s ({extra})", flush=True)
     ev = trainer.evaluate()
     print(f"eval: {ev}", flush=True)
+
+    if args.assert_band:
+        lo, hi = (float(x) for x in args.assert_band.split(","))
+        key = {"classify": "accuracy", "retrieve": "accuracy",
+               "segment": "iou", "autoencode": "loss"}[cfg.task]
+        val = ev[key]
+        inside = lo <= val <= hi
+        print(f"band check: {key} {val:.4f} "
+              f"{'INSIDE' if inside else 'OUTSIDE'} [{lo}, {hi}]",
+              flush=True)
+        if not inside:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

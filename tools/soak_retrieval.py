@@ -32,11 +32,18 @@ def main():
     p.add_argument("--per_class_block", type=int, default=90,
                    help="generator ids per class (make_shrec_scale "
                         "--per_class)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--assert_band", default=None, metavar="LO,HI",
+                   help="fail (exit 1) unless test mAP lands inside "
+                        "[LO, HI] (VERDICT r3 #2; bands in "
+                        "docs/DESIGN.md)")
     args = p.parse_args()
 
     cfg = shrec16().replace(dataroot=args.dataroot,
                             input_pipeline=args.input_pipeline,
-                            name="soak_shrec", checkpoints_dir=args.out)
+                            seed=args.seed,
+                            name=f"soak_shrec_s{args.seed}",
+                            checkpoints_dir=args.out)
     t0 = time.perf_counter()
     trainer = Trainer(cfg, quiet=True, resume=False)
     print(f"setup: {time.perf_counter() - t0:.1f}s", flush=True)
@@ -71,6 +78,16 @@ def main():
     print(f"wrote {len(results)} rank files to {out_dir}")
     print("retrieval metrics (ground-truth labels):",
           {k: round(v, 4) for k, v in metrics.items()}, flush=True)
+
+    if args.assert_band:
+        lo, hi = (float(x) for x in args.assert_band.split(","))
+        val = metrics["mAP"]
+        inside = lo <= val <= hi
+        print(f"band check: mAP {val:.4f} "
+              f"{'INSIDE' if inside else 'OUTSIDE'} [{lo}, {hi}]",
+              flush=True)
+        if not inside:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
