@@ -168,6 +168,7 @@ class TestImportRun:
         with pytest.raises(ValueError, match="does not fit"):
             compat.import_reference_checkpoint(cfg.replace(classes=9), files)
 
+    @pytest.mark.slow
     def test_import_run_servable(self, pth_files, tmp_path):
         """import_run writes a run directory the standard entry points
         accept: restore + ServingEngine round-trip with the imported
@@ -253,6 +254,7 @@ class TestImportRun:
         tcls.load_state_dict(torch.load(paths["classifier"],
                                         weights_only=True))  # strict
 
+    @pytest.mark.slow
     def test_pth_roundtrip_decoder_segmenter(self, ref, tmp_path):
         """Same round-trip through the decoder and segmenter heads."""
         for task, label, build in (

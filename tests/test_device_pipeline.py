@@ -4,6 +4,7 @@ lives in HBM, subsample + augmentation fuse into the step jit."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sonet_tpu import config as cfg_mod
 from sonet_tpu.data.device_pipeline import (DeviceData, load_device_data,
@@ -85,6 +86,7 @@ class TestSampleBatch:
                                       np.asarray(b["pc"][..., 0]).astype(np.int64))
 
 
+@pytest.mark.slow
 class TestTrainerDevicePipeline:
     def test_trainer_device_pipeline_e2e(self, tmp_path):
         cfg = _cfg(input_pipeline="device", epochs=1,
@@ -175,6 +177,7 @@ class TestTrainerDevicePipeline:
                                       raw0["node"])
 
 
+@pytest.mark.slow
 class TestShardedPlacement:
     """--dataset_placement sharded: the TRAIN split is split over the
     mesh 'data' axis (1/dp items per chip) instead of replicated, so a
@@ -313,6 +316,7 @@ class TestShardedPlacement:
         assert np.isfinite(m["loss"])
 
 
+@pytest.mark.slow
 class TestChunkedDevicePipeline:
     """Splits bigger than the HBM budget stream through double-buffered
     super-chunks instead of OOMing (VERDICT r2 #2)."""

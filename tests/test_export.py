@@ -59,6 +59,7 @@ def _random_inputs(cfg, seed=0):
     return tuple(out)
 
 
+@pytest.mark.slow
 class TestExportRoundtrip:
     def test_classify_export_matches_direct(self, tmp_path):
         run = _train_tiny(tmp_path, name="exp_cls")

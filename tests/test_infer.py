@@ -9,6 +9,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from sonet_tpu.config import tiny_test, load_config
 from sonet_tpu.train.trainer import Trainer
@@ -17,6 +18,9 @@ from sonet_tpu.train.trainer import Trainer
 def _load_infer():
     from sonet_tpu.tasks import infer
     return infer
+
+
+pytestmark = pytest.mark.slow  # infer e2e suite: full gate only
 
 
 def test_infer_classify_roundtrip(tmp_path):

@@ -437,6 +437,7 @@ class TestSegmenterParity:
                                    rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.slow
 class TestTrainingTrajectoryParity:
     """VERDICT r2 #3: the COMPOSED training semantics — two Adam groups
     (betas 0.9/0.999, wd 0, classifier.py:29-36), train-mode BN with

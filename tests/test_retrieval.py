@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from sonet_tpu import retrieval
 
@@ -131,6 +132,7 @@ class TestExtractScoresChunked:
             np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestRetrieveDriverMesh:
     def test_driver_mesh_matches_single(self, tmp_path):
         """tasks/retrieve.py --mesh_shape must produce the same metrics

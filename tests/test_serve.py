@@ -49,6 +49,7 @@ def _inputs(engine, B, seed=0):
             for i in engine.manifest["inputs"]}
 
 
+@pytest.mark.slow
 class TestServingEngine:
     def test_exact_batch_and_stats(self, engine):
         B = engine.batch_size

@@ -129,6 +129,7 @@ class TestMeshPooling:
         assert _pooling_mesh(single) is None
 
 
+@pytest.mark.slow
 class TestShardedTraining:
     def _run(self, mesh_shape, seed=0, steps=2, task="classify",
              pooling="auto"):
@@ -264,12 +265,14 @@ class TestShardedTraining:
         np.testing.assert_allclose(e1, em, rtol=3e-2)
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 class TestCrossMeshRestore:
     """Resuming onto a different topology than the save (pod reshape
     after preemption) — VERDICT r2 #6: metric/step continuity and
@@ -351,6 +354,7 @@ class TestCrossMeshRestore:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 class TestTrainerWithMesh:
     def test_mesh_shape_cli_parse(self):
         cfg = cfg_mod.parse_args(["--preset", "tiny_test",

@@ -95,6 +95,7 @@ class TestPermutePoints:
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("task", ["classify", "segment", "autoencode"])
 def test_sorted_equals_scatter_model(inputs, task):
     cfg, pc, sn, node, rs = inputs

@@ -26,6 +26,7 @@ def _fake_mnist_root(tmp_path, n=24):
 
 
 class TestMNISTTask:
+    @pytest.mark.slow
     def test_trainer_mnist_2d(self, tmp_path):
         root = _fake_mnist_root(tmp_path)
         cfg = cfg_mod.mnist().replace(
@@ -66,6 +67,7 @@ def _fake_shrec_root(tmp_path, cfg, n_train=8, n_val=4, n_test=4):
 
 
 class TestShrecTask:
+    @pytest.mark.slow
     def test_trainer_val_split_and_retrieval(self, tmp_path):
         cfg = cfg_mod.shrec16().replace(
             classes=3, batch_size=4, input_pc_num=32, node_num=9, k=2,

@@ -114,6 +114,7 @@ class TestAutoencodeE2E:
         assert after < before, (before, after)
 
 
+@pytest.mark.slow
 class TestCheckpoint:
     def test_checkpoint_every_periodic_saves(self, tmp_path):
         """--checkpoint_every N must save ungated every N steps (the flag
