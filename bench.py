@@ -13,10 +13,12 @@ number against a committed budget:
 * classify_infer_b64 — ModelNet40 eval forward, B=64
 
 Honest-number policy (VERDICT r1 weak #1/#2, r3 weak #1-#3):
-* device ms/step = MEDIAN over ``--repeats`` independent profiler
+* device ms/step = MIN over ``--repeats`` independent profiler
   traces (the jax.profiler device lane, sonet_tpu.utils.tprof), with
-  min/max spread recorded — a single-run number inside the tunnel's
-  ±8% wall noise band cannot adjudicate a 5% regression; medians can.
+  the median and the full spread recorded — tunnel contamination is
+  strictly additive, so the floor is the hardware number; a single-run
+  number inside the tunnel's noise band cannot adjudicate a 5%
+  regression, the floor can (see BUDGETS_MS).
 * wall ms/step from synced fetches as a fallback gate only
   (jax.block_until_ready returns early on the axon backend; only data
   fetches synchronize).
@@ -30,11 +32,13 @@ Honest-number policy (VERDICT r1 weak #1/#2, r3 weak #1-#3):
   estimate BASELINE.json's 5x target is built on — the PyTorch
   reference publishes NO throughput, BASELINE.md).
 
-Regression policy: each task is gated on its device-lane median when
-the profiler delivered (>=2 successful traces), else on its wall
-median (the trace occasionally hangs on the tunneled backend —
-CLAUDE.md).  Any blown budget sets ``"regression": true`` in the JSON
-line and exits nonzero.
+Regression policy: each task is gated on its device-lane FLOOR when
+the profiler delivered at least one trace, else on its wall median
+(the trace occasionally hangs on the tunneled backend — CLAUDE.md);
+classify additionally gates its epoch-scan floor (the production
+dispatch-free number, which catches host/graph regressions the device
+floor cannot).  Any blown budget sets ``"regression": true`` in the
+JSON line and exits nonzero.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "tasks", "regression", ...}.
@@ -45,6 +49,7 @@ import gc
 import json
 import signal
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -52,17 +57,23 @@ import numpy as np
 REF_CLOUDS_PER_SEC = 250.0  # estimated PyTorch-GPU reference (see docstring)
 V5E_PEAK_BF16_FLOPS = 197e12
 
-# Committed per-task budgets (ms/step).  Device budgets = round-4
-# measured medians (BENCH_r04 calibration run) + ~10-15% headroom —
-# tight enough that a real 5%+ regression on the gated lane trips
-# them, loose enough that tunnel weather does not.  Wall budgets are
-# the fallback gate only (per-step dispatch adds ~1.3 ms and ±8%
-# run-to-run noise, so they carry more slack).
+# Committed per-task budgets (ms/step), gated on the MIN device-lane
+# time over the repeats: tunnel contamination is strictly additive
+# (the r4 calibration run measured classify traces of [3.705, 3.705,
+# 5.35, 5.27, 4.41] in one bad stretch — the floor is the hardware
+# number, and a real regression raises the floor), so min-gating
+# adjudicates a 5% regression that a median inside the weather band
+# cannot.  Device budgets = r4 calibration floor + ~5-8% headroom.
+# Wall budgets are the fallback gate only (per-step dispatch adds
+# ~1-2 ms and the tunnel's ±8%+ run-to-run noise, so they carry much
+# more slack and only gate when every trace failed).
 BUDGETS_MS = {
-    "classify":           {"device": 4.1, "wall": 6.2},
-    "segment":            {"device": 6.1, "wall": 8.3},
-    "autoencode":         {"device": 4.4, "wall": 6.4},
-    "classify_infer_b64": {"device": 19.0, "wall": 23.0},
+    # floors measured r4 (module-span lane, all 5 traces within 1 us):
+    # classify 3.699, segment 4.595, autoencode 2.143, infer-B64 17.053
+    "classify":           {"device": 3.9, "wall": 7.0, "scan": 4.5},
+    "segment":            {"device": 4.85, "wall": 7.2},
+    "autoencode":         {"device": 2.30, "wall": 6.8},
+    "classify_infer_b64": {"device": 18.0, "wall": 22.0},
 }
 
 
@@ -155,6 +166,7 @@ def _measure_task(name, repeats, iters, trace_timeout):
     from sonet_tpu.utils.hlocat import categorize, parse_hlo_fusions
     from sonet_tpu.utils.tprof import device_time
 
+    print(f"bench: {name}: compiling ...", file=sys.stderr, flush=True)
     f, state, batch, cfg, raw = _build_task(name)
     compiled = f.lower(state).compile()
     flops = None
@@ -181,41 +193,49 @@ def _measure_task(name, repeats, iters, trace_timeout):
         wall_runs.append((time.perf_counter() - t0) / n * 1e3)
     wall_med = statistics.median(wall_runs)
 
-    # device-lane: median over `repeats` independent traces
+    # device-lane: `repeats` independent traces of the SAME AOT
+    # executable (a fresh jit call would recompile the identical
+    # program — lower().compile() does not populate the jit cache)
     dev_runs, per_ops = [], []
     attempts = 0
     while len(dev_runs) < repeats and attempts < repeats + 3:
         attempts += 1
         try:
             with _Alarm(trace_timeout):
-                dev_ms, per_op = device_time(f, (state,), iters=iters)
+                dev_ms, per_op = device_time(compiled, (state,),
+                                             iters=iters)
             dev_runs.append(dev_ms)
             per_ops.append(per_op)
-        except Exception:
+            print(f"bench: {name}: trace {len(dev_runs)}/{repeats}: "
+                  f"{dev_ms:.3f} ms", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"bench: {name}: trace failed ({e})", file=sys.stderr,
+                  flush=True)
             continue
-    dev_med = statistics.median(dev_runs) if len(dev_runs) >= 2 else (
-        dev_runs[0] if dev_runs else None)
+    dev_min = min(dev_runs) if dev_runs else None
+    dev_med = statistics.median(dev_runs) if dev_runs else None
 
+    # categories from the CLEANEST trace (the min): contaminated
+    # traces would smear phantom milliseconds over the attribution
     categories = {}
     if per_ops:
-        avg_ops = {}
-        for po in per_ops:
-            for k, v in po.items():
-                avg_ops[k] = avg_ops.get(k, 0.0) + v / len(per_ops)
+        best = per_ops[dev_runs.index(dev_min)]
         try:
             fusions = parse_hlo_fusions(compiled.as_text())
-            categories = categorize(avg_ops, fusions)
+            categories = categorize(best, fusions)
         except Exception:
             categories = {}
 
     budget = BUDGETS_MS[name]
-    gate = "device" if dev_med is not None else "wall"
-    gated_ms = dev_med if dev_med is not None else wall_med
+    gate = "device" if dev_min is not None else "wall"
+    gated_ms = dev_min if dev_min is not None else wall_med
     ok = gated_ms <= budget[gate]
     res = {
         "wall_ms": round(wall_med, 3),
         "wall_ms_all": [round(x, 3) for x in wall_runs],
-        "device_ms": round(dev_med, 3) if dev_med is not None else None,
+        "device_ms": round(dev_min, 3) if dev_min is not None else None,
+        "device_ms_median": (round(dev_med, 3) if dev_med is not None
+                             else None),
         "device_ms_all": [round(x, 3) for x in dev_runs],
         "budget_ms": budget,
         "gate": gate,
@@ -225,9 +245,9 @@ def _measure_task(name, repeats, iters, trace_timeout):
         res["categories_ms"] = categories
     if flops is not None:
         res["flops_per_step"] = flops
-        if dev_med:
+        if dev_min:
             res["mfu_device"] = round(
-                flops / (dev_med / 1e3) / V5E_PEAK_BF16_FLOPS, 4)
+                flops / (dev_min / 1e3) / V5E_PEAK_BF16_FLOPS, 4)
     return res, (f, state, batch, cfg, raw, flops)
 
 
@@ -289,6 +309,8 @@ def main():
     }
     scan_ms = None
     if classify_internals is not None:
+        print("bench: classify: epoch-scan headline ...", file=sys.stderr,
+              flush=True)
         scan_ms, scan_runs = _classify_headline(classify_internals)
         B = classify_internals[3].batch_size
         flops = classify_internals[5]
@@ -304,6 +326,13 @@ def main():
             out["flops_per_step"] = flops
             out["mfu"] = round(flops / (scan_ms / 1e3)
                                / V5E_PEAK_BF16_FLOPS, 4)
+        # the scanned number also gates: it is the production per-step
+        # time (dispatch-free) and catches host/graph regressions the
+        # device floor cannot (min over runs, same additive-noise logic)
+        scan_budget = BUDGETS_MS["classify"].get("scan")
+        if scan_budget and min(scan_runs) > scan_budget:
+            tasks["classify"]["ok"] = False
+            tasks["classify"]["scan_over_budget"] = True
     regressions = [n for n, r in tasks.items() if not r["ok"]]
     out["tasks"] = tasks
     out["regression"] = bool(regressions)

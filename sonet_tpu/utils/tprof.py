@@ -26,7 +26,15 @@ import numpy as np
 
 
 def _parse_trace(log_dir: str) -> Tuple[float, Dict[str, float]]:
-    """Total device-lane ms and per-op ms from the newest trace.json.gz."""
+    """Total device-lane ms and per-op ms from the newest trace.json.gz.
+
+    Total = the XLA *module* spans (the per-run program execution time)
+    when the trace carries them; the span-union over all device lanes is
+    only the fallback.  Rationale (measured r4): the axon trace includes
+    per-iteration DMA lanes whose spans extend past the compute span, so
+    the union is erratically inflated (AE step: union 3.6-7.0 ms across
+    repeats vs a rock-stable 2.14 ms module span) — phantom transfer
+    time that is NOT on the program's critical path."""
     paths = sorted(glob.glob(os.path.join(
         log_dir, "plugins", "profile", "*", "*.trace.json.gz")))
     if not paths:
@@ -34,20 +42,31 @@ def _parse_trace(log_dir: str) -> Tuple[float, Dict[str, float]]:
     with gzip.open(paths[-1]) as f:
         tr = json.load(f)
     names = {}
+    threads = {}
     for e in tr["traceEvents"]:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             names[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            threads[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = {p for p, n in names.items() if "TPU" in n or "GPU" in n}
+    module_lanes = {k for k, n in threads.items()
+                    if k[0] in dev_pids and "module" in n.lower()}
     per_op: Dict[str, float] = collections.defaultdict(float)
-    # depth-aware: count only top-level module spans for the total, all
-    # named ops for the breakdown
     spans = []
+    module_ms = 0.0
+    have_module_lane = bool(module_lanes)
     for e in tr["traceEvents"]:
         if (e.get("ph") == "X" and e.get("dur") and e["pid"] in dev_pids):
             per_op[e["name"]] += e["dur"] / 1e3
             spans.append((e["ts"], e["ts"] + e["dur"]))
-    # total device-busy time: union of spans (avoids double counting
-    # nested module/op events)
+            is_module = ((e["pid"], e.get("tid")) in module_lanes
+                         if have_module_lane
+                         else e["name"].startswith("jit"))
+            if is_module:
+                module_ms += e["dur"] / 1e3
+    if module_ms > 0.0:
+        return module_ms, dict(per_op)
+    # fallback: union of spans (avoids double counting nested events)
     total = 0.0
     for s, t in sorted(spans):
         if total == 0.0:

@@ -23,6 +23,7 @@ Prints a markdown table for docs/DESIGN.md.
 
 import argparse
 import os
+import signal
 import sys
 import time
 import traceback
@@ -80,7 +81,16 @@ def main():
     ap.add_argument("--remat", type=int, nargs="*", default=[0, 1])
     ap.add_argument("--ns", type=int, nargs="*", default=DEFAULT_NS)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="seconds per (B, remat, N) point — the axon "
+                         "tunnel sometimes hangs (CLAUDE.md); a hung "
+                         "point is reported as TIMEOUT and the sweep "
+                         "moves on")
     args = ap.parse_args()
+
+    def _bail(signum, frame):
+        raise TimeoutError("point timed out")
+    signal.signal(signal.SIGALRM, _bail)
 
     rows = []
     print("| B | remat | N | ms/step | kpts/s | compile s |")
@@ -89,6 +99,7 @@ def main():
         for remat in args.remat:
             for N in args.ns:
                 try:
+                    signal.alarm(args.timeout)
                     ms, cs = measure(B, N, remat, args.iters)
                 except KeyboardInterrupt:
                     raise
@@ -103,6 +114,8 @@ def main():
                           flush=True)
                     rows.append((B, remat, N, None))
                     break  # larger N will not fit either
+                finally:
+                    signal.alarm(0)
                 kpts = B * N / ms  # points/ms == kpts/s
                 print(f"| {B} | {remat} | {N} | {ms:.2f} | {kpts:.0f} "
                       f"| {cs:.0f} |", flush=True)
