@@ -28,7 +28,9 @@ class TestMetricLogger:
         for _ in range(3):
             with t:
                 time.sleep(0.01)
-        assert 0.005 < t.mean < 0.05
+        # loose upper bound: sleep(0.01) can stretch past 50 ms when the
+        # 1-core box is running a concurrent soak (observed flake)
+        assert 0.005 < t.mean < 0.5
 
 
 class TestVisualize:
