@@ -22,6 +22,28 @@ from sonet_tpu.config import PRESETS
 from sonet_tpu.train.trainer import Trainer
 
 
+def load_band(preset):
+    """-> "LO,HI" from the committed band table (tools/soak_bands.json:
+    the 3-seed metric band measured on the hardness-0.x datasets, wide
+    enough for seed noise, tight enough that a semantics regression —
+    BN stats, tie routing, kNN-graph timing — lands outside it)."""
+    import json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "soak_bands.json")
+    if not os.path.exists(path):
+        sys.exit(f"--band: committed band table missing: {path}")
+    with open(path) as f:
+        bands = json.load(f)
+    if preset not in bands:
+        sys.exit(f"no committed band for preset {preset!r} (have: "
+                 f"{sorted(k for k in bands if not k.startswith('_'))})")
+    b = bands[preset]
+    print(f"band: {preset}: [{b['lo']}, {b['hi']}] on {b['dataset']} "
+          f"(hardness {b['hardness']}, {b['epochs']} epochs, "
+          f"seeds {b['seeds']})", flush=True)
+    return f"{b['lo']},{b['hi']}"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataroot", required=True)
@@ -38,7 +60,14 @@ def main():
                         "sensitivity band for hardness-tuned soak "
                         "datasets (VERDICT r3 #2; bands in "
                         "docs/DESIGN.md)")
+    p.add_argument("--band", action="store_true",
+                   help="shorthand: load [LO, HI] for this preset from "
+                        "the committed tools/soak_bands.json (the "
+                        "3-seed band measured on the hardness-tuned "
+                        "datasets; docs/DESIGN.md)")
     args = p.parse_args()
+    if args.band and not args.assert_band:
+        args.assert_band = load_band(args.preset)
 
     cfg = PRESETS[args.preset]().replace(
         dataroot=args.dataroot,

@@ -37,7 +37,14 @@ def main():
                    help="fail (exit 1) unless test mAP lands inside "
                         "[LO, HI] (VERDICT r3 #2; bands in "
                         "docs/DESIGN.md)")
+    p.add_argument("--band", action="store_true",
+                   help="shorthand: load [LO, HI] from the committed "
+                        "tools/soak_bands.json (key 'shrec16')")
     args = p.parse_args()
+    if args.band and not args.assert_band:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from soak import load_band  # tools/soak.py
+        args.assert_band = load_band("shrec16")
 
     cfg = shrec16().replace(dataroot=args.dataroot,
                             input_pipeline=args.input_pipeline,
