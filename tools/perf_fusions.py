@@ -28,34 +28,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=12)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--task", default="classify",
+                    help="any bench.py task (classify, segment, "
+                         "autoencode, classify_infer_b64) — built with "
+                         "the exact bench construction")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-    from sonet_tpu import config as cfg_mod, train
-    from sonet_tpu.models import build_model
     from sonet_tpu.utils.tprof import device_time
+    from bench import _build_task  # same construction bench.py commits
 
-    cfg = cfg_mod.modelnet40()
-    model = build_model(cfg)
-    rs = np.random.RandomState(0)
-    B, N, M = cfg.batch_size, cfg.input_pc_num, cfg.node_num
-    batch = {"pc": jnp.asarray(rs.randn(B, N, 3).astype(np.float32)),
-             "sn": jnp.asarray(rs.randn(B, N, 3).astype(np.float32)),
-             "node": jnp.asarray(rs.randn(B, M, 3).astype(np.float32)),
-             "label": jnp.asarray(rs.randint(0, cfg.classes, B))}
-    state = train.init_state(model, cfg, jax.random.PRNGKey(0),
-                             (batch["pc"], batch["sn"], batch["node"]),
-                             steps_per_epoch=1230)
-    train_step, _ = train.make_steps(model, cfg, 1230)
-    raw = train_step.__wrapped__
-    rng = jax.random.PRNGKey(1)
-    f = jax.jit(lambda s: raw(s, batch, rng))
+    f, state, batch, cfg, raw = _build_task(args.task)
 
     hlo = f.lower(state).compile().as_text()
     fusions = parse_hlo_fusions(hlo)
-    out = f(state)
-    float(out[1]["loss"])
+    from bench import _sync
+    _sync(f(state))
 
     import signal
 
