@@ -13,7 +13,12 @@ further at the cost of recompute.
 Walks ``input_pc_num`` upward at the flagship ModelNet40 configuration
 (full widths, bf16, two Adam groups) until compile/alloc fails, and
 records ms/step (fetch-synced wall over ``--iters`` steps) for each
-point.  Run on the real chip:
+point.  Each point runs in its OWN subprocess: the axon tunnel has
+hang stretches where even a 30 s compile stalls forever and only
+killing the process recovers (CLAUDE.md), so a hung point is killed
+and retried with a fresh process/tunnel connection; a TIMEOUT after
+retries does not end the N series — only a real alloc failure (OOM)
+does.  Run on the real chip:
 
     PYTHONPATH=/root/.axon_site:. python tools/perf_bigN.py \
         [--batch 8] [--remat 0 1] [--ns 5000 10000 ...] [--iters 10]
@@ -22,13 +27,12 @@ Prints a markdown table for docs/DESIGN.md.
 """
 
 import argparse
+import json
 import os
-import signal
+import subprocess
 import sys
 import time
 import traceback
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -39,6 +43,7 @@ DEFAULT_NS = [5000, 10000, 20000, 40000, 80000, 120000, 160000, 240000,
 
 def measure(B, N, remat, iters):
     """-> (wall ms/step, compile s) or raises."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from sonet_tpu import config as cfg_mod, train
@@ -75,6 +80,43 @@ def measure(B, N, remat, iters):
     return ms, compile_s
 
 
+def run_point(B, N, remat, iters):
+    """One measurement in this process; prints a JSON line."""
+    try:
+        ms, cs = measure(B, N, remat, iters)
+        print(json.dumps({"ok": True, "ms": ms, "compile_s": cs}),
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — reported to the driver
+        oom = ("RESOURCE_EXHAUSTED" in str(e)
+               or "memory" in str(e).lower())
+        traceback.print_exc(limit=2, file=sys.stderr)
+        print(json.dumps({"ok": False, "oom": oom,
+                          "err": type(e).__name__}), flush=True)
+
+
+def drive_point(B, N, remat, iters, timeout, retries=3):
+    """Subprocess-per-attempt driver -> dict from run_point, or
+    {"ok": False, "err": "TIMEOUT"} when every attempt hung."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--point",
+           str(B), str(remat), str(N), "--iters", str(iters)]
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(f"(B={B} remat={remat} N={N}: attempt {attempt} hung "
+                  f"{timeout}s; killed, retrying w/ fresh process)",
+                  file=sys.stderr, flush=True)
+            continue
+        for line in r.stdout.splitlines()[::-1]:
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        sys.stderr.write(r.stderr[-2000:])
+        return {"ok": False, "err": f"rc={r.returncode}, no JSON"}
+    return {"ok": False, "err": "TIMEOUT"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="*", default=[8, 1])
@@ -82,15 +124,16 @@ def main():
     ap.add_argument("--ns", type=int, nargs="*", default=DEFAULT_NS)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--timeout", type=int, default=900,
-                    help="seconds per (B, remat, N) point — the axon "
-                         "tunnel sometimes hangs (CLAUDE.md); a hung "
-                         "point is reported as TIMEOUT and the sweep "
-                         "moves on")
+                    help="seconds per (B, remat, N) attempt")
+    ap.add_argument("--point", nargs=3, type=int, metavar=("B", "REMAT",
+                    "N"), help="internal: measure one point and print "
+                    "a JSON line (used by the subprocess driver)")
     args = ap.parse_args()
 
-    def _bail(signum, frame):
-        raise TimeoutError("point timed out")
-    signal.signal(signal.SIGALRM, _bail)
+    if args.point:
+        B, remat, N = args.point
+        run_point(B, N, remat, args.iters)
+        return
 
     rows = []
     print("| B | remat | N | ms/step | kpts/s | compile s |")
@@ -98,28 +141,22 @@ def main():
     for B in args.batch:
         for remat in args.remat:
             for N in args.ns:
-                try:
-                    signal.alarm(args.timeout)
-                    ms, cs = measure(B, N, remat, args.iters)
-                except KeyboardInterrupt:
-                    raise
-                except Exception as e:
-                    msg = f"{type(e).__name__}"
-                    if "RESOURCE_EXHAUSTED" in str(e) or "memory" in \
-                            str(e).lower():
-                        msg = "OOM"
-                    else:
-                        traceback.print_exc(limit=2, file=sys.stderr)
-                    print(f"| {B} | {remat} | {N} | {msg} | | |",
+                res = drive_point(B, N, remat, args.iters, args.timeout)
+                if res.get("ok"):
+                    ms, cs = res["ms"], res["compile_s"]
+                    kpts = B * N / ms  # points/ms == kpts/s
+                    print(f"| {B} | {remat} | {N} | {ms:.2f} | "
+                          f"{kpts:.0f} | {cs:.0f} |", flush=True)
+                    rows.append((B, remat, N, ms))
+                elif res.get("oom"):
+                    print(f"| {B} | {remat} | {N} | OOM | | |",
                           flush=True)
                     rows.append((B, remat, N, None))
                     break  # larger N will not fit either
-                finally:
-                    signal.alarm(0)
-                kpts = B * N / ms  # points/ms == kpts/s
-                print(f"| {B} | {remat} | {N} | {ms:.2f} | {kpts:.0f} "
-                      f"| {cs:.0f} |", flush=True)
-                rows.append((B, remat, N, ms))
+                else:
+                    print(f"| {B} | {remat} | {N} | {res['err']} | | |",
+                          flush=True)
+                    rows.append((B, remat, N, None))
     # envelope summary
     for B in args.batch:
         for remat in args.remat:
