@@ -40,8 +40,12 @@ dispatch-free number, which catches host/graph regressions the device
 floor cannot).  Any blown budget sets ``"regression": true`` in the
 JSON line and exits nonzero.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"tasks", "regression", ...}.
+Prints ONE COMPACT JSON line as the LAST stdout line ({"metric",
+"value", "unit", "vs_baseline", "device_floors_ms", "regression"}) —
+small enough that the driver's tail capture can never truncate it
+(BENCH_r04 lost its machine-readable headline to exactly that) — and
+writes the full per-task detail (spreads, categories, budgets, MFU) to
+``bench_detail.json`` next to this file.
 """
 
 import argparse
@@ -376,7 +380,27 @@ def main():
     out["regression"] = bool(regressions)
     if regressions:
         out["regressions"] = regressions
-    print(json.dumps(out))
+
+    # Full per-task detail goes to a sibling file; stdout's LAST line is
+    # a COMPACT summary the driver's tail window can never truncate
+    # (BENCH_r04 recorded "parsed": null because the ~4 KB detail line
+    # was cut mid-stream — VERDICT r4 weak #3).
+    import os
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    compact = {k: out[k] for k in ("metric", "value", "unit",
+                                   "vs_baseline", "step_ms_scanned",
+                                   "mfu") if k in out}
+    compact["device_floors_ms"] = {
+        n: r.get("device_ms") for n, r in tasks.items()}
+    compact["regression"] = bool(regressions)
+    if regressions:
+        compact["regressions"] = regressions
+    compact["detail"] = "bench_detail.json"
+    print(json.dumps(compact))
     return 1 if regressions else 0
 
 

@@ -133,16 +133,28 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree (model/optimizer state) over the mesh.
 
+    ALIAS-SAFE: the input tree is NOT consumed.  A bare ``device_put``
+    onto a replicated sharding aliases the source buffer for the shard
+    living on the origin device (``may_alias=False`` does NOT prevent
+    this — measured on jax 0.9.0 CPU: the replicated output dies with
+    the donated source); if the caller later passes the ORIGINAL tree
+    to a donating step (``train_step`` donates its state,
+    train/loops.py), the donation frees that shared buffer and the
+    replicated copy dies with it ("Array has been deleted").  A jitted
+    identity with ``out_shardings`` always materializes fresh buffers,
+    so callers may keep using both trees.  One-time startup copy.
+
     Multi-process: cross-process ``device_put`` is only defined for
     host-side values that are identical on every process, so leaves are
     first materialized to numpy (``fetch_global`` all-gathers any leaf a
-    process can't read locally). One-time startup cost; identical values
-    are guaranteed by the deterministic seeded init."""
+    process can't read locally; numpy sources never alias device
+    buffers). One-time startup cost; identical values are guaranteed by
+    the deterministic seeded init."""
     sharding = NamedSharding(mesh, P())
     if jax.process_count() > 1:
         from .distributed import fetch_global
-        tree = fetch_global(tree)
-    return jax.device_put(tree, sharding)
+        return jax.device_put(fetch_global(tree), sharding)
+    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
 
 
 def shard_stacked(stacked: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
