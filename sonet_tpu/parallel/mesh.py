@@ -140,9 +140,13 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     the donated source); if the caller later passes the ORIGINAL tree
     to a donating step (``train_step`` donates its state,
     train/loops.py), the donation frees that shared buffer and the
-    replicated copy dies with it ("Array has been deleted").  A jitted
-    identity with ``out_shardings`` always materializes fresh buffers,
-    so callers may keep using both trees.  One-time startup copy.
+    replicated copy dies with it ("Array has been deleted").  So:
+    stage with ``device_put`` (which accepts ANY source placement —
+    a checkpoint-restored tree is committed to specific devices, and
+    jit refuses committed inputs whose devices mismatch
+    ``out_shardings``), then copy through a jitted identity, which
+    always materializes fresh buffers.  One-time startup copy; the
+    possibly-aliased staged intermediate is dropped.
 
     Multi-process: cross-process ``device_put`` is only defined for
     host-side values that are identical on every process, so leaves are
@@ -154,7 +158,8 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     if jax.process_count() > 1:
         from .distributed import fetch_global
         return jax.device_put(fetch_global(tree), sharding)
-    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
+    staged = jax.device_put(tree, sharding)
+    return jax.jit(lambda t: t, out_shardings=sharding)(staged)
 
 
 def shard_stacked(stacked: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
