@@ -72,12 +72,14 @@ V5E_PEAK_BF16_FLOPS = 197e12
 # ~1-2 ms and the tunnel's ±8%+ run-to-run noise, so they carry much
 # more slack and only gate when every trace failed).
 BUDGETS_MS = {
-    # floors measured r4 (module-span lane, all 5 traces within 1 us):
-    # classify 3.699, segment 4.595, autoencode 2.143, infer-B64 17.053
-    "classify":           {"device": 3.9, "wall": 7.0, "scan": 4.5},
-    "segment":            {"device": 4.85, "wall": 7.2},
-    "autoencode":         {"device": 2.30, "wall": 6.8},
-    "classify_infer_b64": {"device": 18.0, "wall": 22.0},
+    # floors measured r5 after the ragged/lane-packed pooling-kernel
+    # rework (module-span lane, all 3 traces within 1 us): classify
+    # 3.508, segment 4.550, autoencode 2.104, infer-B64 13.636
+    # (r4 floors were 3.699 / 4.595 / 2.143 / 17.053)
+    "classify":           {"device": 3.72, "wall": 6.8, "scan": 4.1},
+    "segment":            {"device": 4.80, "wall": 7.2},
+    "autoencode":         {"device": 2.25, "wall": 6.6},
+    "classify_infer_b64": {"device": 14.5, "wall": 18.5},
 }
 
 
