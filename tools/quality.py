@@ -84,8 +84,11 @@ def main():
         band = json.load(f)[args.preset]
     gen, default_root, rows = FAMILIES[args.preset]
     root = args.dataroot or default_root
+    # flagship artifact keeps the plain name (round-over-round
+    # comparable); other presets get a suffixed sibling
+    suffix = "" if args.preset == "modelnet40" else f"_{args.preset}"
     out_path = args.out or os.path.join(
-        REPO, f"QUALITY_r{args.round:02d}.json")
+        REPO, f"QUALITY_r{args.round:02d}{suffix}.json")
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/.axon_site:" + REPO + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
