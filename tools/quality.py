@@ -130,11 +130,21 @@ def main():
         print("quality: SOM nodes already present", flush=True)
 
     # ---- 3. band-asserted soak ------------------------------------------
-    rc, out = _run([sys.executable, os.path.join(REPO, "tools", "soak.py"),
-                    "--preset", args.preset, "--dataroot", root,
-                    "--epochs", str(band["epochs"]),
-                    "--input_pipeline", "device",
-                    "--seed", str(args.seed), "--band"], env=env)
+    # shrec16's committed band is a RETRIEVAL band (test mAP over rank
+    # files), measured by tools/soak_retrieval.py — soak.py would
+    # assert classification accuracy against it instead
+    if args.preset == "shrec16":
+        cmd = [sys.executable,
+               os.path.join(REPO, "tools", "soak_retrieval.py"),
+               "--dataroot", root, "--epochs", str(band["epochs"]),
+               "--seed", str(args.seed), "--band"]
+    else:
+        cmd = [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+               "--preset", args.preset, "--dataroot", root,
+               "--epochs", str(band["epochs"]),
+               "--input_pipeline", "device",
+               "--seed", str(args.seed), "--band"]
+    rc, out = _run(cmd, env=env)
     inside = rc == 0
     value = None
     m = re.search(r"band check: (\S+) ([0-9.]+) (INSIDE|OUTSIDE)", out)
