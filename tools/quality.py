@@ -65,6 +65,34 @@ def _run(cmd, env=None, timeout=None):
     return proc.returncode, "".join(lines)
 
 
+def parse_soak_output(out: str, rc: int):
+    """(value, inside, final_eval, clouds_per_sec) from a soak driver's
+    stdout.  The band-check line is authoritative for value/inside;
+    the soak exit code is the fallback when the line is missing
+    (e.g. the run died before eval)."""
+    inside = rc == 0
+    value = None
+    m = re.search(r"band check: (\S+) ([0-9.]+) (INSIDE|OUTSIDE)", out)
+    if m:
+        value = float(m.group(2))
+        inside = m.group(3) == "INSIDE"
+    ev = None
+    em = re.search(r"^(?:eval|retrieval metrics[^:]*): (\{.*\})$", out,
+                   re.M)
+    if em:
+        try:
+            ev = {k: round(float(v), 4)
+                  for k, v in ast.literal_eval(em.group(1)).items()
+                  if isinstance(v, (int, float))}
+        except (ValueError, SyntaxError):
+            pass
+    clouds = None
+    cm = re.findall(r"= ([0-9.]+) clouds/s", out)
+    if cm:
+        clouds = float(cm[-1])
+    return value, inside, ev, clouds
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="modelnet40",
@@ -145,25 +173,7 @@ def main():
                "--input_pipeline", "device",
                "--seed", str(args.seed), "--band"]
     rc, out = _run(cmd, env=env)
-    inside = rc == 0
-    value = None
-    m = re.search(r"band check: (\S+) ([0-9.]+) (INSIDE|OUTSIDE)", out)
-    if m:
-        value = float(m.group(2))
-        inside = m.group(3) == "INSIDE"
-    ev = None
-    em = re.search(r"^eval: (\{.*\})$", out, re.M)
-    if em:
-        try:
-            ev = {k: round(float(v), 4)
-                  for k, v in ast.literal_eval(em.group(1)).items()
-                  if isinstance(v, (int, float))}
-        except (ValueError, SyntaxError):
-            pass
-    clouds = None
-    cm = re.findall(r"= ([0-9.]+) clouds/s", out)
-    if cm:
-        clouds = float(cm[-1])
+    value, inside, ev, clouds = parse_soak_output(out, rc)
 
     # ---- 4. artifact -----------------------------------------------------
     artifact = {
